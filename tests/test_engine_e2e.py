@@ -1,0 +1,187 @@
+"""End-to-end continuous-batching engine test on CPU with a tiny random model.
+
+Checks that the scheduler (admission, paged allocation, chunked prefill,
+prefix cache, sampling, streaming) produces exactly the same greedy tokens as
+a naive non-batched decode loop using the raw model functions.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zhilight_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+    ParallelConfig,
+)
+from zhilight_tpu.engine import DynamicBatchGenerator, GeneratorArg
+from zhilight_tpu.kvcache import new_kv_cache
+from zhilight_tpu.llm import LLM
+from zhilight_tpu.models import llama as L
+from zhilight_tpu.models.base import DecodeMeta, PrefillMeta
+
+VOCAB = 64
+EOS = 1
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ModelConfig(
+        model_type="llama",
+        num_layers=2,
+        dim_model=32,
+        num_heads=4,
+        dim_head=8,
+        num_kv_heads=2,
+        dim_ff=64,
+        vocab_size=VOCAB,
+        dtype="float32",
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    return cfg, params
+
+
+def naive_greedy(cfg, params, prompt, max_new):
+    """Reference: identity-paged greedy decode with raw model fns."""
+    PAGE, MAXP, BUCKET = 4, 16, 32
+    rope = L.build_rope(cfg)
+    cache = new_kv_cache(cfg.num_layers, MAXP, PAGE, cfg.num_kv_heads, cfg.dim_head, jnp.float32)
+    n = len(prompt)
+    tok = np.zeros(BUCKET, np.int32)
+    tok[:n] = prompt
+    pos = np.zeros(BUCKET, np.int32)
+    pos[:n] = np.arange(n)
+    slots = np.full(BUCKET, -1, np.int32)
+    slots[:n] = np.arange(n)
+    pt = np.full(MAXP, -1, np.int32)
+    pt[: (n + PAGE - 1) // PAGE] = np.arange((n + PAGE - 1) // PAGE)
+    meta = PrefillMeta(
+        positions=jnp.asarray(pos),
+        slot_mapping=jnp.asarray(slots),
+        page_table=jnp.asarray(pt),
+        cache_len=jnp.int32(0),
+        q_len=jnp.int32(n),
+    )
+    logits, cache = L.forward_prefill(params, cfg, rope, jnp.asarray(tok), meta, cache)
+    out = [int(np.argmax(np.asarray(logits)))]
+    while len(out) < max_new and out[-1] != EOS:
+        p = n + len(out) - 1
+        used = p // PAGE + 1
+        ptb = np.full((1, MAXP), -1, np.int32)
+        ptb[0, :used] = np.arange(used)
+        dmeta = DecodeMeta(
+            positions=jnp.asarray([p], jnp.int32),
+            slot_mapping=jnp.asarray([p], jnp.int32),
+            page_tables=jnp.asarray(ptb),
+            context_lens=jnp.asarray([p + 1], jnp.int32),
+        )
+        dl, cache = L.forward_decode(
+            params, cfg, rope, jnp.asarray([out[-1]], jnp.int32), dmeta, cache
+        )
+        out.append(int(np.argmax(np.asarray(dl[0]))))
+    if out and out[-1] == EOS:
+        out = out[:-1]
+    return out
+
+
+def make_llm(tiny_model, **sched_kw):
+    cfg, params = tiny_model
+    defaults = dict(
+        max_batch=4,
+        max_total_token=512,
+        chunk_size=8,
+        prefill_buckets=(8, 16, 32),
+        eos_id=EOS,
+    )
+    defaults.update(sched_kw)
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=4, num_pages=64),
+        scheduler=SchedulerConfig(**defaults),
+        parallel=ParallelConfig(tp=1, dp=1),
+    )
+    return LLM(model_config=cfg, params=params, engine_config=ecfg)
+
+
+def test_engine_matches_naive_greedy(tiny_model):
+    cfg, params = tiny_model
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (5, 11, 19)]
+    max_new = 8
+
+    expected = [naive_greedy(cfg, params, p, max_new) for p in prompts]
+
+    llm = make_llm(tiny_model)
+    with DynamicBatchGenerator(llm) as gen:
+        results = gen.batch_generate(prompts, GeneratorArg(max_length=max_new))
+    got = [r.outputs[0].token_ids for r in results]
+    assert got == expected
+
+
+def test_chunked_prefill_matches(tiny_model):
+    """Prompt longer than chunk_size forces multiple chunks."""
+    cfg, params = tiny_model
+    rng = np.random.RandomState(1)
+    prompt = list(rng.randint(2, VOCAB, size=21))
+    expected = naive_greedy(cfg, params, prompt, 6)
+
+    llm = make_llm(tiny_model, chunk_size=8)
+    with DynamicBatchGenerator(llm) as gen:
+        res = gen.generate(prompt, GeneratorArg(max_length=6))
+    assert res.outputs[0].token_ids == expected
+
+
+def test_prefix_cache_reuse(tiny_model):
+    cfg, params = tiny_model
+    rng = np.random.RandomState(2)
+    shared = list(rng.randint(2, VOCAB, size=16))
+    p1 = shared + list(rng.randint(2, VOCAB, size=4))
+    p2 = shared + list(rng.randint(2, VOCAB, size=3))
+
+    e1 = naive_greedy(cfg, params, p1, 5)
+    e2 = naive_greedy(cfg, params, p2, 5)
+
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=4, num_pages=64, enable_prefix_caching=True),
+        scheduler=SchedulerConfig(
+            max_batch=4, chunk_size=32, prefill_buckets=(8, 16, 32), eos_id=EOS
+        ),
+    )
+    llm = LLM(model_config=cfg, params=params, engine_config=ecfg)
+    with DynamicBatchGenerator(llm) as gen:
+        r1 = gen.generate(p1, GeneratorArg(max_length=5))
+        r2 = gen.generate(p2, GeneratorArg(max_length=5))
+    assert r1.outputs[0].token_ids == e1
+    assert r2.outputs[0].token_ids == e2
+    # second request must have hit the shared prefix pages
+    # (scheduler sets prefix_hit_len; peek through allocator state)
+    assert gen.scheduler.allocator._prefix_index  # pages were registered
+
+
+def test_sampling_determinism(tiny_model):
+    llm = make_llm(tiny_model)
+    prompt = [5, 9, 12, 33]
+    arg = GeneratorArg(max_length=8, temperature=0.8, top_p=0.9, top_k=20, seed=7)
+    with DynamicBatchGenerator(llm) as gen:
+        a = gen.generate(prompt, arg).outputs[0].token_ids
+        b = gen.generate(prompt, arg).outputs[0].token_ids
+    assert a == b
+    assert len(a) > 0
+
+
+def test_streaming(tiny_model):
+    llm = make_llm(tiny_model)
+    prompt = [5, 9, 12, 33, 17]
+    chunks = []
+    with DynamicBatchGenerator(llm) as gen:
+        for ev in gen.stream_generate(prompt, GeneratorArg(max_length=6)):
+            if not ev["finished"]:
+                chunks.extend(ev["tokens"])
+            else:
+                final = ev["output"]
+    assert chunks == final.token_ids

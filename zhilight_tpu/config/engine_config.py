@@ -1,0 +1,91 @@
+"""Engine / batching / distribution configuration.
+
+Replaces the reference's three config tiers — ``DynBatchConfig``
+(src/model/dyn_batch_context.h:29-49, zhilight/dynamic_batch.py:17-86),
+``DistConfig`` (zhilight/config/dist_config.py:6-33) and the environment-flag
+registry (zhilight/config/dev_config.py:9-55) — with one structured,
+TPU-oriented config. All shape-affecting knobs (buckets, pages, slots) are
+explicit here because on TPU they determine what gets compiled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+__all__ = ["SchedulerConfig", "CacheConfig", "ParallelConfig", "EngineConfig"]
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV-cache shape/budget configuration.
+
+    The reference grows per-task ragged buffers and defragments
+    (3rd/bmengine allocator.cpp, src/kvcache/transformer_buffer.h). TPU needs
+    static shapes, so the cache is one preallocated paged pool; capacity is
+    expressed in pages up front.
+    """
+
+    page_size: int = 16                  # tokens per KV page
+    num_pages: int = 0                   # 0 => auto-size from HBM budget
+    # fraction of free HBM to use for KV when num_pages == 0
+    hbm_utilization: float = 0.9
+    reserved_hbm_mb: int = 1024          # analogue of RESERVE_MEM_MB
+    kv_dtype: str = "bfloat16"           # "int8" => quantized KV cache
+    # prefix cache (token-prefix page reuse)
+    enable_prefix_caching: bool = False
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous-batching scheduler knobs (reference DynBatchConfig parity)."""
+
+    max_batch: int = 32                  # decode slots
+    max_total_token: int = 8192          # KV token budget for admission control
+    max_queue_size: int = 1024
+    chunk_size: int = 512                # chunked-prefill chunk (token bucket)
+    # prefill length buckets (token counts) for compile-shape control
+    prefill_buckets: Tuple[int, ...] = (128, 512, 2048, 8192)
+    # decode batch buckets; () => always max_batch (single compiled shape)
+    decode_buckets: Tuple[int, ...] = ()
+    max_beam_size: int = 8
+    eos_id: int = 2
+    bos_id: int = 1
+    ignore_eos: bool = False
+    keep_eos: bool = False
+    seed: int = 0
+    # run logits / attention softmax accumulation in fp32
+    high_precision: bool = True
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh description.
+
+    Replaces reference DistConfig(tp, dist_init_addr, nnodes, node_rank)
+    + the NCCL/thread-per-GPU engine (3rd/bmengine engine.cpp:94-140).
+    On TPU this is just a `jax.sharding.Mesh` spec; multi-host via
+    jax.distributed.
+    """
+
+    tp: int = 1                          # model (tensor-parallel) axis size
+    dp: int = 1                          # data-parallel axis size (attention-DP for MLA)
+    ep: int = 0                          # expert-parallel size; 0 => fold into tp
+    # multi-host
+    num_hosts: int = 1
+    host_rank: int = 0
+    coordinator_address: Optional[str] = None
+
+    @property
+    def num_devices(self) -> int:
+        return self.tp * self.dp
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    model_path: str = ""
+    dtype: str = "bfloat16"
+    max_model_len: int = 8192
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)

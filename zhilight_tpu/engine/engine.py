@@ -1,0 +1,298 @@
+"""Model executor: owns params, KV cache, sampler state and compiled step fns.
+
+This is the TPU-native replacement for the reference execution stack:
+``core::Engine`` device management + ``ModelContext`` per-rank contexts +
+``join_forward``'s fused encode/decode model call
+(src/generator/batch_generator.cpp:1337-1423). Instead of thread-per-GPU and
+NCCL, there is one process driving a (possibly multi-host) mesh with three
+jit-compiled programs, all with the cache/sampler state donated so XLA updates
+them in place:
+
+  chunk_step  — prefill chunk, no logits (reference "pure chunk" iterations
+                that skip get_logits, batch_generator.cpp:1546-1550)
+  prefill_step — prefill chunk + last-token logits + first-token sampling
+  decode_step — one token for every active slot + sampling
+
+Shape discipline: prefill token-count buckets and a fixed decode batch, so
+there are at most |buckets|*2+1 compiled programs.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import EngineConfig, ModelConfig, QuantConfig
+from ..config.engine_config import CacheConfig, SchedulerConfig
+from ..kvcache.paged import KVCache, new_kv_cache, new_latent_cache
+from ..models import llama as llama_mod
+from ..models.base import DecodeMeta, PrefillMeta
+from ..ops.sampling import (
+    SamplerState,
+    SamplingParams,
+    new_sampler_state,
+    record_tokens,
+    sample_step,
+)
+from ..parallel.mesh import TP_AXIS, make_mesh
+from ..parallel.sharding import pspec_tree, shard_params
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ModelExecutor"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class ModelExecutor:
+    """Holds device state and compiled step functions for one model."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: Dict[str, Any],
+        engine_cfg: EngineConfig,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.engine_cfg = engine_cfg
+        self.sched_cfg = engine_cfg.scheduler
+        self.cache_cfg = engine_cfg.cache
+        self.mesh = mesh if mesh is not None else make_mesh(
+            tp=engine_cfg.parallel.tp, dp=engine_cfg.parallel.dp
+        )
+        self.rope = llama_mod.build_rope(cfg, engine_cfg.max_model_len)
+
+        with self.mesh:
+            self.params = shard_params(params, self.mesh)
+
+        self.page_size = self.cache_cfg.page_size
+        self.num_pages = self._decide_num_pages()
+        self.max_pages_per_seq = _round_up(engine_cfg.max_model_len, self.page_size) // self.page_size
+        self.max_batch = self.sched_cfg.max_batch
+
+        self.cache = self._new_cache()
+        self.sampler_state = self._new_sampler_state()
+        self.base_key = jax.random.PRNGKey(self.sched_cfg.seed or 0)
+
+        self._compiled: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # sizing
+    # ------------------------------------------------------------------
+    def _decide_num_pages(self) -> int:
+        cc = self.cache_cfg
+        if cc.num_pages:
+            return cc.num_pages
+        # size from free HBM after params (reference auto memory-limit:
+        # free - RESERVE_MEM_MB, py_model_base.cpp:59-92 + kv_buf_bytes
+        # accounting in batch_generator.cpp:585-630)
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats.get("bytes_limit", 0)
+            used = stats.get("bytes_in_use", 0)
+            free = (limit - used) * cc.hbm_utilization - cc.reserved_hbm_mb * (1 << 20)
+        except Exception:
+            free = 0
+        per_token = self._kv_bytes_per_token()
+        if free <= 0:
+            # CPU tests / unknown platform: budget from max_total_token
+            return max(
+                _round_up(self.sched_cfg.max_total_token, self.page_size) // self.page_size,
+                8,
+            )
+        tokens = int(free // per_token)
+        return max(tokens // self.page_size, 8)
+
+    def _kv_bytes_per_token(self) -> int:
+        cfg = self.cfg
+        if cfg.mla.enabled:
+            # latent cache (reference LATENT_CACHE sizing, batch_generator.cpp:594-596)
+            return cfg.num_layers * cfg.mla.latent_dim * 2
+        itemsize = 1 if self.cache_cfg.kv_dtype == "int8" else 2
+        per = cfg.num_layers * 2 * cfg.num_kv_heads * cfg.dim_head * itemsize
+        if self.cache_cfg.kv_dtype == "int8":
+            per += cfg.num_layers * 2 * cfg.num_kv_heads * 4  # scales
+        # kv heads are sharded over tp
+        return max(per // max(self.engine_cfg.parallel.tp, 1), 1)
+
+    # ------------------------------------------------------------------
+    # state construction
+    # ------------------------------------------------------------------
+    def _new_cache(self) -> KVCache:
+        cfg = self.cfg
+        with self.mesh:
+            if cfg.mla.enabled:
+                cache = new_latent_cache(
+                    cfg.num_layers, self.num_pages, self.page_size, cfg.mla.latent_dim,
+                    cfg.jax_dtype,
+                )
+                spec = P()
+            else:
+                cache = new_kv_cache(
+                    cfg.num_layers,
+                    self.num_pages,
+                    self.page_size,
+                    cfg.num_kv_heads,
+                    cfg.dim_head,
+                    cfg.jax_dtype,
+                    quantized=self.cache_cfg.kv_dtype == "int8",
+                )
+                spec = None  # per-leaf below
+        if cfg.mla.enabled:
+            sharding = NamedSharding(self.mesh, P())
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), cache)
+        kv_spec = NamedSharding(self.mesh, P(None, None, TP_AXIS, None))
+        sc_spec = NamedSharding(self.mesh, P(None, None, TP_AXIS))
+        def place(x):
+            if x.ndim == 4:
+                return jax.device_put(x, kv_spec)
+            return jax.device_put(x, sc_spec)
+        return jax.tree.map(place, cache)
+
+    def _new_sampler_state(self) -> SamplerState:
+        state = new_sampler_state(self.max_batch, self.cfg.vocab_size)
+        sharding = NamedSharding(self.mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+    # ------------------------------------------------------------------
+    # compiled steps
+    # ------------------------------------------------------------------
+    def _get(self, key, builder):
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = builder()
+            self._compiled[key] = fn
+        return fn
+
+    def _chunk_step_fn(self, bucket: int):
+        cfg, rope = self.cfg, self.rope
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def chunk_step(params, tokens, cache, meta):
+            _, cache = llama_mod.backbone(
+                params, cfg, rope, tokens, meta.positions, cache, meta, "prefill"
+            )
+            return cache
+
+        return chunk_step
+
+    def _prefill_step_fn(self, bucket: int):
+        cfg, rope = self.cfg, self.rope
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3), static_argnums=(8,))
+        def prefill_step(params, tokens, cache, sampler_state, meta, sparams, slot, key, num_logprobs):
+            logits, cache = llama_mod.forward_prefill(params, cfg, rope, tokens, meta, cache)
+            # sample the first token for this slot only
+            row = logits[None].astype(jnp.float32)  # [1, V]
+            sl = jax.tree.map(lambda a: a[slot][None], sparams)
+            st = SamplerState(
+                token_counts=sampler_state.token_counts[slot][None],
+                step=sampler_state.step[slot][None],
+            )
+            tok, lp, toplp, toptok, st2 = sample_step(row, st, sl, key, num_logprobs=num_logprobs)
+            new_state = SamplerState(
+                token_counts=sampler_state.token_counts.at[slot].set(st2.token_counts[0]),
+                step=sampler_state.step.at[slot].set(st2.step[0]),
+            )
+            return tok[0], lp[0], toplp[0], toptok[0], cache, new_state
+
+        return prefill_step
+
+    def _decode_step_fn(self):
+        cfg, rope = self.cfg, self.rope
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3), static_argnums=(7,))
+        def decode_step(params, tokens, cache, sampler_state, meta, sparams, key, num_logprobs):
+            logits, cache = llama_mod.forward_decode(params, cfg, rope, tokens, meta, cache)
+            tok, lp, toplp, toptok, new_state = sample_step(
+                logits.astype(jnp.float32), sampler_state, sparams, key, num_logprobs=num_logprobs
+            )
+            return tok, lp, toplp, toptok, cache, new_state
+
+        return decode_step
+
+    def _record_fn(self, bucket: int):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def record(state, slot, tokens):
+            return record_tokens(state, slot, tokens)
+
+        return record
+
+    # ------------------------------------------------------------------
+    # public API used by the scheduler (all take/return numpy at the edges)
+    # ------------------------------------------------------------------
+    def pick_bucket(self, n: int) -> int:
+        for b in self.sched_cfg.prefill_buckets:
+            if n <= b:
+                return b
+        return self.sched_cfg.prefill_buckets[-1]
+
+    def record_prompt(self, slot: int, tokens: List[int]):
+        bucket = self.pick_bucket(len(tokens))
+        fn = self._get(("record", bucket), lambda: self._record_fn(bucket))
+        padded = np.full(bucket, -1, np.int32)
+        padded[: len(tokens)] = tokens
+        self.sampler_state = fn(self.sampler_state, jnp.int32(slot), jnp.asarray(padded))
+
+    def run_chunk(self, tokens: np.ndarray, meta: PrefillMeta):
+        bucket = tokens.shape[0]
+        fn = self._get(("chunk", bucket), lambda: self._chunk_step_fn(bucket))
+        self.cache = fn(self.params, jnp.asarray(tokens), self.cache, meta)
+
+    def run_prefill(
+        self,
+        tokens: np.ndarray,
+        meta: PrefillMeta,
+        sparams: SamplingParams,
+        slot: int,
+        step_index: int,
+        num_logprobs: int = 0,
+    ):
+        bucket = tokens.shape[0]
+        fn = self._get(("prefill", bucket, num_logprobs), lambda: self._prefill_step_fn(bucket))
+        key = self.base_key  # per-slot determinism comes from (seed, step) fold-in
+        tok, lp, toplp, toptok, self.cache, self.sampler_state = fn(
+            self.params,
+            jnp.asarray(tokens),
+            self.cache,
+            self.sampler_state,
+            meta,
+            sparams,
+            jnp.int32(slot),
+            key,
+            num_logprobs,
+        )
+        return int(tok), float(lp), np.asarray(toplp), np.asarray(toptok)
+
+    def run_decode(
+        self,
+        tokens: np.ndarray,
+        meta: DecodeMeta,
+        sparams: SamplingParams,
+        step_index: int,
+        num_logprobs: int = 0,
+    ):
+        fn = self._get(("decode", num_logprobs), self._decode_step_fn)
+        key = self.base_key  # per-slot determinism comes from (seed, step) fold-in
+        tok, lp, toplp, toptok, self.cache, self.sampler_state = fn(
+            self.params,
+            jnp.asarray(tokens),
+            self.cache,
+            self.sampler_state,
+            meta,
+            sparams,
+            key,
+            num_logprobs,
+        )
+        return np.asarray(tok), np.asarray(lp), np.asarray(toplp), np.asarray(toptok)

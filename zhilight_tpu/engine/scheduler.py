@@ -1,0 +1,374 @@
+"""Continuous-batching scheduler.
+
+Parity target: the reference's ``SearcherImplV1::batch_search`` hot loop
+(src/generator/batch_generator.cpp:1445-1637) and ``TaskQueue`` admission
+control (:89-180): admit under a free-KV-token budget, plan prefill (prefix
+cache match + chunked prefill), run the model, sample, apply stop conditions,
+stream results, evict finished tasks.
+
+TPU adaptation: instead of one fused encode+search forward with ragged
+tensors, each loop iteration issues (a) at most one prefill-chunk program on a
+bucketed token count and (b) one fixed-shape decode program over the slot
+batch, both asynchronously dispatched; pages replace ragged-buffer resizes.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.engine_config import SchedulerConfig
+from ..kvcache.allocator import PageAllocator
+from ..models.base import DecodeMeta, PrefillMeta
+from ..ops.sampling import SamplingParams
+from .engine import ModelExecutor
+from .task import SearchTask, TaskStatus
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Scheduler"]
+
+
+class Scheduler:
+    def __init__(self, executor: ModelExecutor):
+        self.ex = executor
+        self.cfg: SchedulerConfig = executor.sched_cfg
+        self.queue: "queue.Queue[SearchTask]" = queue.Queue(maxsize=self.cfg.max_queue_size)
+        self.allocator = PageAllocator(
+            executor.num_pages,
+            executor.page_size,
+            enable_prefix_cache=executor.cache_cfg.enable_prefix_caching,
+        )
+        self.max_batch = executor.max_batch
+        self.slots: List[Optional[SearchTask]] = [None] * self.max_batch
+        # tasks admitted but still prefilling (FIFO; one chunked at a time like
+        # the reference's chunking_b single-task restriction)
+        self.prefilling: List[SearchTask] = []
+        self.step_index = 0
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._wake = threading.Event()
+        self._active = 0
+        self._lock = threading.Lock()
+        # host-side mirror of per-slot sampling params; re-uploaded when dirty
+        self._sp_host = {
+            "temperature": np.zeros(self.max_batch, np.float32),
+            "top_p": np.ones(self.max_batch, np.float32),
+            "top_k": np.zeros(self.max_batch, np.int32),
+            "repetition_penalty": np.ones(self.max_batch, np.float32),
+            "presence_penalty": np.zeros(self.max_batch, np.float32),
+            "frequency_penalty": np.zeros(self.max_batch, np.float32),
+            "seed": np.zeros(self.max_batch, np.int32),
+        }
+        self._sp_dirty = True
+        self._sp_device: Optional[SamplingParams] = None
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def start(self):
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(target=self._run, name="zhilight-scheduler", daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def submit(self, task: SearchTask, wait: bool = True):
+        need = task.prompt_len + task.arg.max_length
+        capacity = self.ex.num_pages * self.ex.page_size
+        if need > capacity or task.prompt_len >= self.ex.engine_cfg.max_model_len:
+            raise ValueError(
+                f"task needs {need} KV tokens; capacity {capacity} "
+                f"(max_model_len {self.ex.engine_cfg.max_model_len})"
+            )
+        self.queue.put(task, block=wait)
+        self._wake.set()
+
+    @property
+    def active_size(self) -> int:
+        return self._active
+
+    def queue_size(self) -> int:
+        return self.queue.qsize()
+
+    def wait_all_done(self, timeout: Optional[float] = None):
+        deadline = time.monotonic() + timeout if timeout else None
+        while True:
+            with self._lock:
+                idle = self._active == 0 and self.queue.empty() and not self.prefilling
+            if idle:
+                return True
+            if deadline and time.monotonic() > deadline:
+                return False
+            time.sleep(0.005)
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+    def _run(self):
+        logger.info("scheduler loop started")
+        try:
+            while not self._stop.is_set():
+                did_work = self._step()
+                if not did_work:
+                    self._wake.wait(timeout=0.002)
+                    self._wake.clear()
+        except BaseException as e:  # propagate to all tasks, mirror reference
+            logger.exception("scheduler crashed")
+            for t in list(self.slots) + self.prefilling:
+                if t is not None and t.status not in (TaskStatus.FINISHED, TaskStatus.FAILED):
+                    t.fail(e)
+            while not self.queue.empty():
+                try:
+                    self.queue.get_nowait().fail(e)
+                except queue.Empty:
+                    break
+            raise
+
+    def _step(self) -> bool:
+        self._admit()
+        worked = False
+        if self.prefilling:
+            worked = self._prefill_one() or worked
+        if any(t is not None and t.status == TaskStatus.DECODE for t in self.slots):
+            self._decode_step()
+            worked = True
+        return worked
+
+    # ------------------------------------------------------------------
+    # admission (reference pop_multi under token budget, :1461-1480)
+    # ------------------------------------------------------------------
+    def _free_slot(self) -> int:
+        for i, t in enumerate(self.slots):
+            if t is None:
+                return i
+        return -1
+
+    def _admit(self):
+        while True:
+            slot = self._free_slot()
+            if slot < 0:
+                return
+            try:
+                task = self.queue.queue[0]  # peek
+            except IndexError:
+                return
+            if task.cancelled:
+                self.queue.get_nowait()
+                task.status = TaskStatus.CANCELLED
+                task.finish()
+                continue
+            need = task.prompt_len + task.arg.max_length
+            if need > self.allocator.free_token_capacity():
+                return  # wait for memory
+            self.queue.get_nowait()
+            self._assign(task, slot)
+
+    def _assign(self, task: SearchTask, slot: int):
+        task.slot = slot
+        task.status = TaskStatus.PREFILL
+        self.slots[slot] = task
+        with self._lock:
+            self._active += 1
+
+        # prefix-cache match (reference match rag prefix, :1120-1122)
+        pages, cached = self.allocator.match_prefix(task.input_tokens)
+        task.pages = pages
+        task.cache_len = cached
+        task.prefix_hit_len = cached
+
+        # per-slot sampling params
+        a = task.arg
+        sp = self._sp_host
+        sp["temperature"][slot] = a.sampling_temperature
+        sp["top_p"][slot] = a.top_p
+        sp["top_k"][slot] = a.top_k
+        sp["repetition_penalty"][slot] = a.repetition_penalty
+        sp["presence_penalty"][slot] = a.presence_penalty
+        sp["frequency_penalty"][slot] = a.frequency_penalty
+        sp["seed"][slot] = a.seed or task.task_id
+        self._sp_dirty = True
+
+        self.ex.record_prompt(slot, task.input_tokens)
+        self.prefilling.append(task)
+
+    def _sampling_params(self) -> SamplingParams:
+        if self._sp_dirty or self._sp_device is None:
+            self._sp_device = SamplingParams(
+                **{k: jnp.asarray(v) for k, v in self._sp_host.items()}
+            )
+            self._sp_dirty = False
+        return self._sp_device
+
+    # ------------------------------------------------------------------
+    # prefill (reference fill_encode_input + chunking, :1048-1212)
+    # ------------------------------------------------------------------
+    def _alloc_pages_to(self, task: SearchTask, target_tokens: int) -> bool:
+        need_pages = (target_tokens + self.ex.page_size - 1) // self.ex.page_size
+        while len(task.pages) < need_pages:
+            page = self.allocator.alloc_page()
+            if page is None:
+                return False
+            task.pages.append(page)
+        return True
+
+    def _release(self, task: SearchTask):
+        if self.allocator.enable_prefix_cache and task.status == TaskStatus.FINISHED:
+            all_tokens = task.input_tokens + task.output_tokens
+            self.allocator.register_prefix(all_tokens, task.pages)
+        self.allocator.free_pages(task.pages)
+        task.pages = []
+        if task.slot >= 0:
+            self.slots[task.slot] = None
+            task.slot = -1
+            with self._lock:
+                self._active -= 1
+
+    def _prefill_one(self) -> bool:
+        task = self.prefilling[0]
+        if task.cancelled:
+            self.prefilling.pop(0)
+            task.status = TaskStatus.CANCELLED
+            self._release(task)
+            task.finish()
+            return True
+
+        remaining = task.prompt_len - task.cache_len
+        chunk = min(remaining, self.cfg.chunk_size)
+        is_last = chunk == remaining
+        bucket = self.ex.pick_bucket(chunk)
+        start = task.cache_len
+
+        if not self._alloc_pages_to(task, start + chunk + (1 if is_last else 0)):
+            return False  # OOM: wait for pages (decode keeps draining)
+
+        S = self.ex.page_size
+        tokens = np.zeros(bucket, np.int32)
+        tokens[:chunk] = task.input_tokens[start : start + chunk]
+        positions = np.zeros(bucket, np.int32)
+        positions[:chunk] = np.arange(start, start + chunk)
+        slot_map = np.full(bucket, -1, np.int32)
+        for i in range(chunk):
+            pos = start + i
+            slot_map[i] = task.pages[pos // S] * S + pos % S
+        page_table = np.full(self.ex.max_pages_per_seq, -1, np.int32)
+        page_table[: len(task.pages)] = task.pages
+
+        meta = PrefillMeta(
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slot_map),
+            page_table=jnp.asarray(page_table),
+            cache_len=jnp.int32(start),
+            q_len=jnp.int32(chunk),
+        )
+
+        if not is_last:
+            self.ex.run_chunk(tokens, meta)
+            task.cache_len += chunk
+            self.step_index += 1
+            return True
+
+        tok, lp, toplp, toptok = self.ex.run_prefill(
+            tokens,
+            meta,
+            self._sampling_params(),
+            task.slot,
+            self.step_index,
+            num_logprobs=task.arg.top_logprobs,
+        )
+        self.step_index += 1
+        task.cache_len = task.prompt_len
+        task.first_token_ts = time.monotonic()
+        self.prefilling.pop(0)
+        task.status = TaskStatus.DECODE
+        self._append_token(task, tok, lp, toplp, toptok)
+        return True
+
+    # ------------------------------------------------------------------
+    # decode (reference fill_search_tokens + join_forward + sampling)
+    # ------------------------------------------------------------------
+    def _decode_step(self):
+        B = self.max_batch
+        S = self.ex.page_size
+        tokens = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        slot_map = np.full(B, -1, np.int32)
+        page_tables = np.full((B, self.ex.max_pages_per_seq), -1, np.int32)
+        context_lens = np.zeros(B, np.int32)
+        active: List[SearchTask] = []
+
+        for b, task in enumerate(self.slots):
+            if task is None or task.status != TaskStatus.DECODE:
+                continue
+            pos = task.total_len - 1  # position of the last generated token
+            if not self._alloc_pages_to(task, pos + 1):
+                continue  # skip this step for this task; retry next iteration
+            tokens[b] = task.output_tokens[-1]
+            positions[b] = pos
+            slot_map[b] = task.pages[pos // S] * S + pos % S
+            page_tables[b, : len(task.pages)] = task.pages
+            context_lens[b] = pos + 1
+            active.append(task)
+
+        if not active:
+            return
+
+        meta = DecodeMeta(
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slot_map),
+            page_tables=jnp.asarray(page_tables),
+            context_lens=jnp.asarray(context_lens),
+        )
+        num_lp = max((t.arg.top_logprobs for t in active), default=0)
+        tok, lp, toplp, toptok = self.ex.run_decode(
+            tokens, meta, self._sampling_params(), self.step_index, num_logprobs=num_lp
+        )
+        self.step_index += 1
+
+        for task in active:
+            b = task.slot
+            self._append_token(
+                task,
+                int(tok[b]),
+                float(lp[b]),
+                toplp[b] if num_lp else None,
+                toptok[b] if num_lp else None,
+            )
+
+    # ------------------------------------------------------------------
+    # token accounting / stop conditions (reference :1500-1637)
+    # ------------------------------------------------------------------
+    def _append_token(self, task: SearchTask, tok: int, lp: float, toplp, toptok):
+        is_eos = tok == self.cfg.eos_id and not self.cfg.ignore_eos
+        if not is_eos or self.cfg.keep_eos:
+            task.output_tokens.append(tok)
+            task.logprobs.append(lp)
+            task.cumulative_logprob += lp
+            if task.arg.top_logprobs and toplp is not None:
+                task.top_logprobs.append(
+                    {int(t): float(v) for t, v in zip(toptok, toplp)}
+                )
+            task.emit_stream([tok])
+        # the EOS token itself was written to cache via the next step's
+        # slot mapping only if we continue; no further writes needed here.
+        if is_eos or len(task.output_tokens) >= task.arg.max_length or task.cancelled:
+            if task.cancelled:
+                task.status = TaskStatus.CANCELLED
+            else:
+                task.status = TaskStatus.FINISHED
+            self._release(task)
+            task.finish()
+            self._wake.set()

@@ -1,0 +1,76 @@
+"""Top-level model entry point.
+
+Parity: reference ``zhilight.LLaMA`` wrapper (zhilight/llama.py:114-245) and
+``AutoModel`` dispatch (zhilight/models/auto_model.py): build config via
+adapters, load tokenizer + weights, construct the executor. Works from an HF
+model directory or from in-memory (config, params) for tests.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+
+from .config import EngineConfig, ModelConfig, QuantConfig, load_model_config
+from .engine.engine import ModelExecutor
+from .engine.generator import DynamicBatchGenerator
+from .engine.scheduler import Scheduler
+from .utils.hf_loader import load_hf_state
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["LLM"]
+
+
+class LLM:
+    def __init__(
+        self,
+        model_path: str = "",
+        engine_config: Optional[EngineConfig] = None,
+        model_config: Optional[ModelConfig] = None,
+        quant_config: Optional[QuantConfig] = None,
+        params: Optional[Dict[str, Any]] = None,
+        tokenizer=None,
+        mesh=None,
+    ):
+        self.engine_config = engine_config or EngineConfig(model_path=model_path)
+        if model_path:
+            cfg, qcfg, raw = load_model_config(model_path)
+            self.model_config = model_config or cfg
+            self.quant_config = quant_config or qcfg
+            self.hf_config = raw
+        else:
+            assert model_config is not None, "need model_path or model_config"
+            self.model_config = model_config
+            self.quant_config = quant_config or QuantConfig()
+            self.hf_config = {}
+
+        self.tokenizer = tokenizer
+        if model_path and tokenizer is None:
+            try:
+                from transformers import AutoTokenizer
+
+                self.tokenizer = AutoTokenizer.from_pretrained(model_path, trust_remote_code=True)
+            except Exception as e:  # pragma: no cover
+                logger.warning("tokenizer load failed: %s", e)
+
+        if params is None:
+            assert model_path, "need params or model_path"
+            params = load_hf_state(model_path, self.model_config)
+        # default eos from tokenizer
+        if self.tokenizer is not None and getattr(self.tokenizer, "eos_token_id", None) is not None:
+            sched = self.engine_config.scheduler
+            if sched.eos_id != self.tokenizer.eos_token_id:
+                import dataclasses
+
+                self.engine_config = dataclasses.replace(
+                    self.engine_config,
+                    scheduler=dataclasses.replace(sched, eos_id=self.tokenizer.eos_token_id),
+                )
+
+        self.executor = ModelExecutor(self.model_config, params, self.engine_config, mesh=mesh)
+
+    def generator(self) -> DynamicBatchGenerator:
+        return DynamicBatchGenerator(self)

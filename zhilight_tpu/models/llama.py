@@ -1,0 +1,320 @@
+"""LLaMA-family transformer (functional JAX).
+
+Covers every dense architecture the reference's ``model::LLaMA`` graph serves
+(src/model/llama.cpp:11-56, src/nn/block/block.cpp): llama / mistral / qwen2
+(attn bias) / qwen3 (qk-norm) / cohere (parallel residual, LayerNorm,
+logit_scale, tied head) / MiniCPM "cpm_dragonfly" (scale_emb, scale_depth,
+dim_model_base logits scaling). MoE layers (mixtral / qwen*-moe / deepseek
+ff) dispatch to :mod:`zhilight_tpu.models.moe`; MLA attention (deepseek) to
+:mod:`zhilight_tpu.models.mla`.
+
+Design: params are a plain nested dict pytree; forward functions are pure and
+jitted by the engine with the KV cache donated. Layers run in a Python loop
+(static unroll) so per-layer heterogeneity (dense-vs-MoE, per-layer quant)
+costs nothing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.model_config import ModelConfig
+from ..kvcache.paged import KVCache, gather_kv, write_kv
+from ..ops.activations import gated_act
+from ..ops.attention import decode_attention, prefill_attention
+from ..ops.linear import linear
+from ..ops.norms import layer_norm, rms_norm
+from ..ops.rope import RopeTable, apply_rope, build_rope_table
+from .base import DecodeMeta, PrefillMeta
+
+__all__ = ["build_rope", "init_params", "forward_prefill", "forward_decode", "get_logits"]
+
+Params = Dict[str, jax.Array]
+
+
+def build_rope(cfg: ModelConfig, max_model_len: int = 0) -> RopeTable:
+    return build_rope_table(
+        cfg.mla.qk_rope_head_dim if cfg.mla.enabled else cfg.dim_head,
+        cfg.rope_theta,
+        cfg.rope,
+        cfg.max_position_embeddings,
+        max_model_len,
+    )
+
+
+def _norm(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    if cfg.rms_norm:
+        return rms_norm(x, p["w"], cfg.eps)
+    return layer_norm(x, p["w"], cfg.eps)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def _qkv(p: Params, cfg: ModelConfig, x: jax.Array):
+    """Project to q/k/v; supports split or fused qkv weights
+    (reference CPM_FUSE_QKV, linear.cpp fuse3)."""
+    T = x.shape[0]
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.dim_head
+    if "qkv_proj" in p:
+        qkv = linear(p["qkv_proj"], x)
+        q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
+    else:
+        q = linear(p["q_proj"], x)
+        k = linear(p["k_proj"], x)
+        v = linear(p["v_proj"], x)
+    return (
+        q.reshape(T, hq, d),
+        k.reshape(T, hkv, d),
+        v.reshape(T, hkv, d),
+    )
+
+
+def _maybe_qk_norm(p: Params, cfg: ModelConfig, q: jax.Array, k: jax.Array):
+    if not cfg.qk_norm:
+        return q, k
+    if cfg.rms_norm:  # qwen3 style per-head RMS
+        return rms_norm(q, p["q_norm"]["w"], cfg.eps), rms_norm(k, p["k_norm"]["w"], cfg.eps)
+    # cohere use_qk_norm: per-head LayerNorm
+    return layer_norm(q, p["q_norm"]["w"], cfg.eps), layer_norm(k, p["k_norm"]["w"], cfg.eps)
+
+
+def attention_layer(
+    p: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    x: jax.Array,
+    positions: jax.Array,
+    cache: KVCache,
+    layer_idx: int,
+    meta,
+    mode: str,
+) -> Tuple[jax.Array, KVCache]:
+    """Standard / GQA attention with paged cache (reference nn::Attention
+    dyn_rag_forward, src/nn/attention/attention.cpp:442-700)."""
+    n = x.shape[0]
+    q, k, v = _qkv(p, cfg, x)
+    q, k = _maybe_qk_norm(p, cfg, q, k)
+    cos, sin = rope.cos_sin(positions)
+    q = apply_rope(q, cos, sin, rope.neox_style)
+    k = apply_rope(k, cos, sin, rope.neox_style)
+
+    cache = write_kv(cache, layer_idx, k, v, meta.slot_mapping)
+    scale = 1.0 / math.sqrt(cfg.dim_head)
+
+    if mode == "prefill":
+        ck, cv = gather_kv(cache, layer_idx, meta.page_table)
+        out = prefill_attention(
+            q, ck, cv, meta.cache_len, meta.q_len, scale, cfg.sliding_window
+        )
+    else:
+        ck, cv = gather_kv(cache, layer_idx, meta.page_tables)
+        out = decode_attention(q, ck, cv, meta.context_lens, scale, cfg.sliding_window)
+
+    out = out.reshape(n, cfg.num_heads * cfg.dim_head)
+    return linear(p["o_proj"], out), cache
+
+
+# ---------------------------------------------------------------------------
+# feed-forward
+# ---------------------------------------------------------------------------
+
+def mlp_layer(p: Params, cfg: ModelConfig, x: jax.Array, layer_idx: int) -> jax.Array:
+    if cfg.is_moe_layer(layer_idx):
+        from .moe import moe_layer
+
+        return moe_layer(p, cfg, x)
+    return dense_mlp(p, cfg, x)
+
+
+def dense_mlp(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """SwiGLU MLP; supports fused gate+up (reference CPM_FUSE_FF_IN)."""
+    if "gate_up_proj" in p:
+        gu = linear(p["gate_up_proj"], x)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = linear(p["gate_proj"], x)
+        u = linear(p["up_proj"], x)
+    return linear(p["down_proj"], gated_act(g, u, cfg.activate_fn))
+
+
+# ---------------------------------------------------------------------------
+# transformer block
+# ---------------------------------------------------------------------------
+
+def decoder_layer(
+    p: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    x: jax.Array,
+    positions: jax.Array,
+    cache: KVCache,
+    layer_idx: int,
+    meta,
+    mode: str,
+) -> Tuple[jax.Array, KVCache]:
+    """Pre-LN block (reference nn::EncoderLayer, src/nn/block/block.cpp):
+    sequential residual by default, Cohere parallel variant (block.cpp:444-481),
+    MiniCPM depth-scaled residual (scale_depth/sqrt(L))."""
+    if cfg.mla.enabled:
+        from .mla import mla_attention_layer as attn_fn
+    else:
+        attn_fn = attention_layer
+
+    res_scale = (
+        cfg.scale_depth / math.sqrt(cfg.num_layers) if cfg.scale_depth != 1.0 else 1.0
+    )
+
+    if cfg.parallel_residual:
+        h = _norm(p["ln_attn"], cfg, x)
+        attn_out, cache = attn_fn(p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode)
+        ff_out = mlp_layer(p["mlp"], cfg, h, layer_idx)
+        return x + attn_out + ff_out, cache
+
+    h = _norm(p["ln_attn"], cfg, x)
+    attn_out, cache = attn_fn(p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode)
+    x = x + attn_out * res_scale
+    h = _norm(p["ln_ff"], cfg, x)
+    ff_out = mlp_layer(p["mlp"], cfg, h, layer_idx)
+    x = x + ff_out * res_scale
+    return x, cache
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+def embed(params: Params, cfg: ModelConfig, tokens: jax.Array) -> jax.Array:
+    x = params["embedding"]["w"][tokens]
+    if cfg.scale_emb != 1.0:
+        x = x * cfg.scale_emb
+    return x.astype(cfg.jax_dtype)
+
+
+def backbone(
+    params: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cache: KVCache,
+    meta,
+    mode: str,
+    input_embeddings: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Embedding -> N blocks -> final norm. ``input_embeddings`` overrides the
+    token embedding (multimodal path — reference SearchTask.input_embeddings)."""
+    x = embed(params, cfg, tokens) if input_embeddings is None else input_embeddings
+    for i in range(cfg.num_layers):
+        x, cache = decoder_layer(
+            params["layers"][str(i)], cfg, rope, x, positions, cache, i, meta, mode
+        )
+    return _norm(params["final_norm"], cfg, x), cache
+
+
+def get_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+    """Project hidden states to vocab logits in fp32 (reference
+    LLaMA::get_logits + MiniCPM/Cohere scaling specializations)."""
+    if cfg.dim_model_base:
+        hidden = hidden / (cfg.dim_model / cfg.dim_model_base)
+    if cfg.tie_lm_head:
+        w = params["embedding"]["w"]
+        logits = jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(hidden, params["lm_head"]["w"], preferred_element_type=jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    return logits
+
+
+def forward_prefill(
+    params: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    tokens: jax.Array,  # [T]
+    meta: PrefillMeta,
+    cache: KVCache,
+    input_embeddings: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Process one prefill chunk; returns logits [vocab] of the last valid
+    token (what sampling needs) and the updated cache."""
+    hidden, cache = backbone(
+        params, cfg, rope, tokens, meta.positions, cache, meta, "prefill", input_embeddings
+    )
+    last = jnp.maximum(meta.q_len - 1, 0)
+    logits = get_logits(params, cfg, hidden[last])
+    return logits, cache
+
+
+def forward_decode(
+    params: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    tokens: jax.Array,  # [B]
+    meta: DecodeMeta,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step for all active slots; returns logits [B, vocab]."""
+    hidden, cache = backbone(
+        params, cfg, rope, tokens, meta.positions, cache, meta, "decode"
+    )
+    return get_logits(params, cfg, hidden), cache
+
+
+# ---------------------------------------------------------------------------
+# random init (tests / benchmarks without checkpoints)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, rng: jax.Array, dtype=None) -> Params:
+    dtype = dtype or cfg.jax_dtype
+    d, hq, hkv, dh = cfg.dim_model, cfg.num_heads, cfg.num_kv_heads, cfg.dim_head
+    keys = iter(jax.random.split(rng, 16 + cfg.num_layers * 16))
+
+    def dense(shape, scale=None):
+        scale = scale if scale is not None else 1.0 / math.sqrt(shape[0])
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dtype)
+
+    def lin(in_dim, out_dim, bias=False):
+        p = {"w": dense((in_dim, out_dim))}
+        if bias:
+            p["b"] = jnp.zeros((out_dim,), dtype)
+        return p
+
+    def layer(i: int) -> Params:
+        attn = {
+            "q_proj": lin(d, hq * dh, cfg.attn_bias),
+            "k_proj": lin(d, hkv * dh, cfg.attn_bias),
+            "v_proj": lin(d, hkv * dh, cfg.attn_bias),
+            "o_proj": lin(hq * dh, d),
+        }
+        if cfg.qk_norm:
+            attn["q_norm"] = {"w": jnp.ones((dh,), dtype)}
+            attn["k_norm"] = {"w": jnp.ones((dh,), dtype)}
+        if cfg.is_moe_layer(i):
+            from .moe import init_moe_params
+
+            mlp = init_moe_params(cfg, next(keys), dtype)
+        else:
+            mlp = {
+                "gate_proj": lin(d, cfg.dim_ff),
+                "up_proj": lin(d, cfg.dim_ff),
+                "down_proj": lin(cfg.dim_ff, d),
+            }
+        p = {"ln_attn": {"w": jnp.ones((d,), dtype)}, "attn": attn, "mlp": mlp}
+        if not cfg.parallel_residual:
+            p["ln_ff"] = {"w": jnp.ones((d,), dtype)}
+        return p
+
+    params: Params = {
+        "embedding": {"w": dense((cfg.vocab_size, d), scale=0.02)},
+        "layers": {str(i): layer(i) for i in range(cfg.num_layers)},
+        "final_norm": {"w": jnp.ones((d,), dtype)},
+    }
+    if not cfg.tie_lm_head:
+        params["lm_head"] = {"w": dense((d, cfg.vocab_size), scale=0.02)}
+    return params

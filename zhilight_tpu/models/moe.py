@@ -1,0 +1,164 @@
+"""Mixture-of-experts feed-forward.
+
+Parity target: reference ``nn::FeedForward`` MoE impls
+(src/nn/feedforward/feedforward.cpp:251-1075): softmax/sigmoid scoring,
+greedy / group_limited_greedy / noaux_tc top-k routing (DeepSeek-V2/V3),
+norm_topk_prob, routed_scaling_factor, shared experts with optional gate
+(qwen2-moe), and grouped expert GEMMs (reference FusedMOE / DeepGEMM path).
+
+TPU-native design: tokens are sorted by expert id and run through
+``jax.lax.ragged_dot`` grouped matmuls — the XLA:TPU equivalent of the
+reference's grouped FP8 GEMM (get_grouped_input token alignment,
+feedforward.cpp:967-1075) with no capacity dropping. Expert parallelism
+shards the expert dim of the stacked weights over the "tp" axis (reference
+MOE_EXP_PARALLEL, feedforward.cpp:251-262).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.model_config import ModelConfig, MoEConfig
+from ..ops.activations import gated_act, get_activation
+from ..ops.linear import linear
+
+__all__ = ["moe_layer", "select_experts", "init_moe_params"]
+
+Params = Dict[str, jax.Array]
+
+
+def select_experts(
+    router_logits: jax.Array,  # [T, E] float32
+    m: MoEConfig,
+    correction_bias: jax.Array = None,  # [E] for noaux_tc
+) -> Tuple[jax.Array, jax.Array]:
+    """Routing: returns (weights [T, K] float32, expert_ids [T, K] int32).
+
+    Implements the three reference topk_methods (feedforward.cpp MOEImpl):
+      greedy               — plain top-k over scores
+      group_limited_greedy — DeepSeek-V2: top groups by max score, then top-k
+      noaux_tc             — DeepSeek-V3: sigmoid + correction bias, groups by
+                             sum of top-2, weights from uncorrected scores
+    """
+    T, E = router_logits.shape
+    if m.scoring_func == "softmax":
+        scores = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    elif m.scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(router_logits.astype(jnp.float32))
+    else:
+        raise ValueError(f"unknown scoring_func {m.scoring_func!r}")
+
+    if m.topk_method == "noaux_tc":
+        choice = scores + correction_bias[None, :]
+    else:
+        choice = scores
+
+    if m.topk_method in ("group_limited_greedy", "noaux_tc") and m.n_group > 1:
+        g = choice.reshape(T, m.n_group, E // m.n_group)
+        if m.topk_method == "noaux_tc":
+            top2 = jax.lax.top_k(g, 2)[0]
+            group_scores = jnp.sum(top2, axis=-1)  # [T, n_group]
+        else:
+            group_scores = jnp.max(g, axis=-1)
+        _, top_groups = jax.lax.top_k(group_scores, m.topk_group)
+        group_mask = jnp.zeros((T, m.n_group), jnp.bool_).at[
+            jnp.arange(T)[:, None], top_groups
+        ].set(True)
+        expert_mask = jnp.repeat(group_mask, E // m.n_group, axis=-1)
+        choice = jnp.where(expert_mask, choice, -jnp.inf)
+
+    _, expert_ids = jax.lax.top_k(choice, m.top_k)  # [T, K]
+    weights = jnp.take_along_axis(scores, expert_ids, axis=-1)
+
+    if m.norm_topk_prob:
+        weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-20)
+    weights = weights * m.routed_scaling_factor
+    return weights, expert_ids.astype(jnp.int32)
+
+
+def _grouped_experts(
+    p_experts: Params,  # stacked weights: [E, in, out] per proj
+    x_sorted: jax.Array,  # [T*K, D] tokens sorted by expert
+    group_sizes: jax.Array,  # [E]
+    act: str,
+) -> jax.Array:
+    if "gate_up_proj" in p_experts:
+        gu = jax.lax.ragged_dot(x_sorted, p_experts["gate_up_proj"]["w"], group_sizes)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = jax.lax.ragged_dot(x_sorted, p_experts["gate_proj"]["w"], group_sizes)
+        u = jax.lax.ragged_dot(x_sorted, p_experts["up_proj"]["w"], group_sizes)
+    h = gated_act(g, u, act)
+    return jax.lax.ragged_dot(h, p_experts["down_proj"]["w"], group_sizes)
+
+
+def moe_layer(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """x: [T, D] -> [T, D]."""
+    m = cfg.moe
+    T, D = x.shape
+    K, E = m.top_k, m.num_experts
+
+    router_logits = jnp.dot(
+        x.astype(jnp.float32), p["router"]["w"].astype(jnp.float32)
+    )
+    bias = p["router"].get("e_score_correction_bias")
+    weights, expert_ids = select_experts(router_logits, m, bias)
+
+    # sort token-expert pairs by expert id -> grouped GEMM layout
+    flat_experts = expert_ids.reshape(-1)  # [T*K]
+    sort_idx = jnp.argsort(flat_experts)
+    token_idx = sort_idx // K  # original token of each sorted row
+    x_sorted = x[token_idx]
+    group_sizes = jnp.bincount(flat_experts, length=E)
+
+    out_sorted = _grouped_experts(p["experts"], x_sorted, group_sizes, cfg.activate_fn)
+    out_sorted = out_sorted * weights.reshape(-1)[sort_idx][:, None].astype(out_sorted.dtype)
+
+    routed = jnp.zeros((T, D), out_sorted.dtype).at[token_idx].add(out_sorted)
+    routed = routed.astype(x.dtype)
+
+    if "shared_expert" in p:
+        from .llama import dense_mlp
+
+        shared = dense_mlp(p["shared_expert"], cfg, x)
+        if "shared_expert_gate" in p:
+            gate = jax.nn.sigmoid(
+                linear(p["shared_expert_gate"], x).astype(jnp.float32)
+            )
+            shared = (shared.astype(jnp.float32) * gate).astype(x.dtype)
+        routed = routed + shared
+    return routed
+
+
+def init_moe_params(cfg: ModelConfig, rng: jax.Array, dtype) -> Params:
+    m = cfg.moe
+    d, f, E = cfg.dim_model, m.intermediate_size, m.num_experts
+    k = iter(jax.random.split(rng, 8))
+
+    def dense(shape, fan_in):
+        return (jax.random.normal(next(k), shape, jnp.float32) / math.sqrt(fan_in)).astype(dtype)
+
+    p: Params = {
+        "router": {"w": dense((d, E), d).astype(jnp.float32)},
+        "experts": {
+            "gate_proj": {"w": dense((E, d, f), d)},
+            "up_proj": {"w": dense((E, d, f), d)},
+            "down_proj": {"w": dense((E, f, d), f)},
+        },
+    }
+    if m.topk_method == "noaux_tc":
+        p["router"]["e_score_correction_bias"] = jnp.zeros((E,), jnp.float32)
+    if m.shared_expert_intermediate_size:
+        sf = m.shared_expert_intermediate_size
+        p["shared_expert"] = {
+            "gate_proj": {"w": dense((d, sf), d)},
+            "up_proj": {"w": dense((d, sf), d)},
+            "down_proj": {"w": dense((sf, d), sf)},
+        }
+        if m.shared_expert_gate:
+            p["shared_expert_gate"] = {"w": dense((d, 1), d)}
+    return p

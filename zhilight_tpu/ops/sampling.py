@@ -1,0 +1,201 @@
+"""Device-side batched sampling.
+
+Parity target: the reference's GPU sampling stack — ``random_sampler_gpu``
+top-p/top-k/temperature (src/generator/random_util.cu, TopKWrapper per-task
+curand generators batch_generator.cpp:182-260), repetition/presence penalties
+and logit bias applied in the scheduler loop (batch_generator.cpp:1639-1730),
+and top-logprobs reporting.
+
+TPU design: everything is one fused [B, V] program per step. Token-occurrence
+counts live on device ([B, V] int32, reset when a slot is reassigned) so
+penalties need no host round-trip. Per-slot determinism uses
+``jax.random.fold_in(key, seed, step)`` instead of per-task curand streams.
+Greedy decoding is temperature == 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SamplingParams", "SamplerState", "new_sampler_state", "sample_step", "apply_penalties"]
+
+NEG_INF = -1.0e30
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SamplingParams:
+    """Per-slot sampling parameters, batched [B]."""
+
+    temperature: jax.Array   # [B] f32; 0 => greedy
+    top_p: jax.Array         # [B] f32 in (0, 1]
+    top_k: jax.Array         # [B] int32; 0 => disabled
+    repetition_penalty: jax.Array  # [B] f32; 1 => off
+    presence_penalty: jax.Array    # [B] f32; 0 => off
+    frequency_penalty: jax.Array   # [B] f32; 0 => off
+    seed: jax.Array          # [B] int32
+
+    def tree_flatten(self):
+        return (
+            (
+                self.temperature,
+                self.top_p,
+                self.top_k,
+                self.repetition_penalty,
+                self.presence_penalty,
+                self.frequency_penalty,
+                self.seed,
+            ),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def greedy(batch: int) -> "SamplingParams":
+        z = jnp.zeros((batch,), jnp.float32)
+        return SamplingParams(
+            temperature=z,
+            top_p=jnp.ones((batch,), jnp.float32),
+            top_k=jnp.zeros((batch,), jnp.int32),
+            repetition_penalty=jnp.ones((batch,), jnp.float32),
+            presence_penalty=z,
+            frequency_penalty=z,
+            seed=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SamplerState:
+    """Per-slot device state across steps."""
+
+    token_counts: jax.Array  # [B, V] int32 occurrences (prompt + generated)
+    step: jax.Array          # [B] int32 decode step counter
+
+    def tree_flatten(self):
+        return ((self.token_counts, self.step), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def new_sampler_state(batch: int, vocab: int) -> SamplerState:
+    return SamplerState(
+        token_counts=jnp.zeros((batch, vocab), jnp.int32),
+        step=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def record_tokens(state: SamplerState, slot: jax.Array, tokens: jax.Array) -> SamplerState:
+    """Count prompt tokens of a (re)assigned slot: used by the scheduler when
+    admitting a task. ``tokens`` [T] padded with -1."""
+    counts = state.token_counts.at[slot].set(0)
+    onehot = jnp.zeros((state.token_counts.shape[1],), jnp.int32).at[tokens].add(
+        jnp.where(tokens >= 0, 1, 0), mode="drop"
+    )
+    counts = counts.at[slot].set(onehot)
+    return SamplerState(token_counts=counts, step=state.step.at[slot].set(0))
+
+
+def apply_penalties(
+    logits: jax.Array,  # [B, V] f32
+    counts: jax.Array,  # [B, V] int32
+    p: SamplingParams,
+) -> jax.Array:
+    """Repetition (mul/div), presence, frequency penalties
+    (reference batch_generator.cpp:1639-1708 semantics)."""
+    seen = counts > 0
+    rep = p.repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen, penalized, logits)
+    logits = logits - p.presence_penalty[:, None] * seen.astype(jnp.float32)
+    logits = logits - p.frequency_penalty[:, None] * counts.astype(jnp.float32)
+    return logits
+
+
+def _top_k_top_p_mask(logits: jax.Array, top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Mask logits outside per-slot top-k / nucleus top-p. One full sort per
+    step (the reference uses GPU bitonic topk, functions/sort.cu)."""
+    B, V = logits.shape
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
+    # top-k threshold: value at rank k-1 (k==0 or k>=V disables)
+    k = jnp.where((top_k <= 0) | (top_k > V), V, top_k)
+    kth = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)  # [B,1]
+    keep_k = logits >= kth
+    # top-p: keep the smallest prefix of sorted probs with cumsum >= top_p
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # a sorted position is kept if the cumulative prob *before* it is < top_p
+    keep_sorted = (cum - probs) < top_p[:, None]
+    # threshold value = smallest kept logit in sorted order
+    thr_idx = jnp.sum(keep_sorted.astype(jnp.int32), axis=-1) - 1  # [B]
+    thr = jnp.take_along_axis(sorted_logits, jnp.maximum(thr_idx, 0)[:, None], axis=-1)
+    keep_p = logits >= thr
+    return keep_k & keep_p
+
+
+def sample_step(
+    logits: jax.Array,  # [B, V] f32
+    state: SamplerState,
+    p: SamplingParams,
+    key: jax.Array,
+    logit_bias_tokens: Optional[jax.Array] = None,  # [B, NB] int32, -1 pad
+    logit_bias_values: Optional[jax.Array] = None,  # [B, NB] f32
+    num_logprobs: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, SamplerState]:
+    """One sampling step for every slot.
+
+    Returns (tokens [B], chosen_logprob [B], top_logprobs [B, num_logprobs],
+    top_tokens [B, num_logprobs], new_state).
+    """
+    B, V = logits.shape
+    logits = logits.astype(jnp.float32)
+    logits = apply_penalties(logits, state.token_counts, p)
+
+    if logit_bias_tokens is not None:
+        bias = jnp.zeros((B, V), jnp.float32).at[
+            jnp.arange(B)[:, None], jnp.where(logit_bias_tokens >= 0, logit_bias_tokens, V)
+        ].add(logit_bias_values, mode="drop")
+        logits = logits + bias
+
+    logprobs_full = jax.nn.log_softmax(logits, axis=-1)
+
+    greedy = p.temperature <= 0.0
+    temp = jnp.where(greedy, 1.0, jnp.maximum(p.temperature, 1e-6))
+    scaled = logits / temp[:, None]
+    mask = _top_k_top_p_mask(scaled, p.top_k, p.top_p)
+    masked = jnp.where(mask, scaled, NEG_INF)
+
+    # per-slot deterministic stream: fold (seed, step) into the engine key
+    def slot_key(seed, step):
+        return jax.random.fold_in(jax.random.fold_in(key, seed), step)
+
+    keys = jax.vmap(slot_key)(p.seed, state.step)
+    gumbel = -jnp.log(-jnp.log(
+        jax.vmap(lambda k: jax.random.uniform(k, (V,), minval=1e-20, maxval=1.0))(keys)
+    ))
+    sampled = jnp.argmax(masked + gumbel, axis=-1)
+    greedy_tok = jnp.argmax(logits, axis=-1)
+    tokens = jnp.where(greedy, greedy_tok, sampled).astype(jnp.int32)
+
+    chosen_logprob = jnp.take_along_axis(logprobs_full, tokens[:, None], axis=-1)[:, 0]
+
+    if num_logprobs > 0:
+        top_lp, top_tok = jax.lax.top_k(logprobs_full, num_logprobs)
+    else:
+        top_lp = jnp.zeros((B, 0), jnp.float32)
+        top_tok = jnp.zeros((B, 0), jnp.int32)
+
+    new_state = SamplerState(
+        token_counts=state.token_counts.at[jnp.arange(B), tokens].add(1),
+        step=state.step + 1,
+    )
+    return tokens, chosen_logprob, top_lp, top_tok.astype(jnp.int32), new_state

@@ -1,0 +1,383 @@
+"""OpenAI-compatible HTTP server.
+
+Parity: reference zhilight/server/openai/entrypoints/api_server.py (FastAPI
+/health /v1/models /version /v1/chat/completions /v1/completions + SSE
+streaming + Prometheus /metrics + --api-key auth + multi-node worker no-op
+mode) and cli args (engine/arg_utils.py:39-131, entrypoints/cli_args.py).
+
+This build uses **aiohttp** (fastapi/uvicorn are not in the base image) — the
+HTTP surface and JSON bodies are identical to the reference's.
+
+Launch:
+  python -m zhilight_tpu.server.openai.api_server --model-path M [--port 8080]
+      [--tensor-parallel N] [--max-model-len L] [--api-key K] [--environ K=V]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from ... import __version__
+from ...config import (
+    CacheConfig,
+    EngineConfig,
+    ParallelConfig,
+    SchedulerConfig,
+)
+from ...engine.generator import DynamicBatchGenerator
+from .metrics import ServingMetrics
+from .protocol import (
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    ChatCompletionChoice,
+    ChatCompletionStreamChoice,
+    ChatCompletionStreamResponse,
+    ChatMessage,
+    CompletionChoice,
+    CompletionRequest,
+    CompletionResponse,
+    DeltaMessage,
+    ErrorResponse,
+    ModelCard,
+    ModelList,
+    UsageInfo,
+)
+from .reasoning import ReasoningParser
+from .serving import AsyncEngine, arg_from_request
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["build_app", "main"]
+
+
+def _error(status: int, message: str) -> web.Response:
+    return web.json_response(
+        ErrorResponse(message=message, code=status).model_dump(), status=status
+    )
+
+
+def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = None,
+              enable_reasoning: bool = False) -> web.Application:
+    metrics = ServingMetrics()
+    app = web.Application()
+
+    @web.middleware
+    async def auth_mw(request: web.Request, handler):
+        if api_key and request.path.startswith("/v1"):
+            auth = request.headers.get("Authorization", "")
+            if auth != f"Bearer {api_key}":
+                return _error(401, "invalid api key")
+        return await handler(request)
+
+    app.middlewares.append(auth_mw)
+
+    async def health(_):
+        if engine.dead:
+            return _error(500, "engine dead")
+        return web.Response(text="")
+
+    async def version(_):
+        return web.json_response({"version": __version__})
+
+    async def models(_):
+        return web.json_response(
+            ModelList(data=[ModelCard(id=served_model)]).model_dump()
+        )
+
+    async def prom_metrics(_):
+        metrics.observe_queue(**engine.stats())
+        return web.Response(body=metrics.render(), content_type="text/plain")
+
+    async def options(_):
+        return web.json_response(engine.stats())
+
+    # -- chat completions ----------------------------------------------
+    async def chat_completions(request: web.Request):
+        try:
+            req = ChatCompletionRequest(**await request.json())
+        except Exception as e:
+            return _error(400, f"bad request: {e}")
+        try:
+            tokens = engine.encode_chat(req)
+        except Exception as e:
+            return _error(400, f"chat template error: {e}")
+        if len(tokens) >= engine.max_model_len:
+            return _error(400, "prompt too long")
+        arg = arg_from_request(req, engine.max_model_len)
+        if req.ignore_eos:
+            arg = arg  # per-request ignore_eos handled at stop check via max_length only
+        if req.stream:
+            return await _stream_chat(request, req, tokens, arg)
+
+        out = await engine.generate(tokens, arg)
+        parser = ReasoningParser(enabled=enable_reasoning)
+        reasoning, content = parser.feed(out.text)
+        r2, c2 = parser.flush()
+        reasoning += r2
+        content += c2
+        resp = ChatCompletionResponse(
+            model=req.model or served_model,
+            choices=[
+                ChatCompletionChoice(
+                    index=0,
+                    message=ChatMessage(
+                        role="assistant",
+                        content=content,
+                        reasoning_content=reasoning or None,
+                    ),
+                    finish_reason="length"
+                    if out.output_tokens_num >= arg.max_length
+                    else "stop",
+                )
+            ],
+            usage=UsageInfo(
+                prompt_tokens=len(tokens),
+                completion_tokens=out.output_tokens_num,
+                total_tokens=len(tokens) + out.output_tokens_num,
+            ),
+        )
+        metrics.observe_request(len(tokens), out)
+        return web.json_response(resp.model_dump(exclude_none=True))
+
+    async def _stream_chat(request, req, tokens, arg):
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            }
+        )
+        await resp.prepare(request)
+        rid = None
+        parser = ReasoningParser(enabled=enable_reasoning)
+
+        async def send(chunk: ChatCompletionStreamResponse):
+            await resp.write(
+                f"data: {json.dumps(chunk.model_dump(exclude_none=True))}\n\n".encode()
+            )
+
+        first = ChatCompletionStreamResponse(
+            model=req.model or served_model,
+            choices=[
+                ChatCompletionStreamChoice(index=0, delta=DeltaMessage(role="assistant"))
+            ],
+        )
+        rid = first.id
+        await send(first)
+        final_out = None
+        async for text, out in engine.generate_stream(tokens, arg):
+            if out is not None:
+                final_out = out
+                break
+            reasoning, content = parser.feed(text)
+            if reasoning or content:
+                chunk = ChatCompletionStreamResponse(
+                    id=rid,
+                    model=req.model or served_model,
+                    choices=[
+                        ChatCompletionStreamChoice(
+                            index=0,
+                            delta=DeltaMessage(
+                                content=content or None,
+                                reasoning_content=reasoning or None,
+                            ),
+                        )
+                    ],
+                )
+                await send(chunk)
+        reasoning, content = parser.flush()
+        done = ChatCompletionStreamResponse(
+            id=rid,
+            model=req.model or served_model,
+            choices=[
+                ChatCompletionStreamChoice(
+                    index=0,
+                    delta=DeltaMessage(
+                        content=content or None, reasoning_content=reasoning or None
+                    ),
+                    finish_reason="length"
+                    if final_out and final_out.output_tokens_num >= arg.max_length
+                    else "stop",
+                )
+            ],
+            usage=UsageInfo(
+                prompt_tokens=len(tokens),
+                completion_tokens=final_out.output_tokens_num if final_out else 0,
+                total_tokens=len(tokens)
+                + (final_out.output_tokens_num if final_out else 0),
+            ),
+        )
+        await send(done)
+        await resp.write(b"data: [DONE]\n\n")
+        if final_out:
+            metrics.observe_request(len(tokens), final_out)
+        await resp.write_eof()
+        return resp
+
+    # -- completions ----------------------------------------------------
+    async def completions(request: web.Request):
+        try:
+            req = CompletionRequest(**await request.json())
+        except Exception as e:
+            return _error(400, f"bad request: {e}")
+        prompts = req.prompt if isinstance(req.prompt, list) and req.prompt and isinstance(req.prompt[0], (list, str)) else [req.prompt]
+        arg0 = arg_from_request(req, engine.max_model_len)
+        if req.stream:
+            if len(prompts) != 1:
+                return _error(400, "streaming supports a single prompt")
+            return await _stream_completion(request, req, engine.encode_prompt(prompts[0]), arg0)
+        choices = []
+        usage = UsageInfo()
+        for i, p in enumerate(prompts):
+            tokens = engine.encode_prompt(p)
+            if len(tokens) >= engine.max_model_len:
+                return _error(400, "prompt too long")
+            out = await engine.generate(tokens, arg0)
+            text = out.text
+            if req.echo and isinstance(p, str):
+                text = p + text
+            choices.append(
+                CompletionChoice(
+                    index=i,
+                    text=text,
+                    finish_reason="length" if out.output_tokens_num >= arg0.max_length else "stop",
+                )
+            )
+            usage.prompt_tokens += len(tokens)
+            usage.completion_tokens += out.output_tokens_num
+            metrics.observe_request(len(tokens), out)
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        resp = CompletionResponse(model=req.model or served_model, choices=choices, usage=usage)
+        return web.json_response(resp.model_dump(exclude_none=True))
+
+    async def _stream_completion(request, req, tokens, arg):
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        final_out = None
+        cid = None
+        async for text, out in engine.generate_stream(tokens, arg):
+            if out is not None:
+                final_out = out
+                break
+            chunk = CompletionResponse(
+                model=req.model or served_model,
+                choices=[CompletionChoice(index=0, text=text)],
+            )
+            chunk.object = "text_completion"
+            if cid is None:
+                cid = chunk.id
+            chunk.id = cid
+            await resp.write(f"data: {json.dumps(chunk.model_dump(exclude_none=True))}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        if final_out:
+            metrics.observe_request(len(tokens), final_out)
+        await resp.write_eof()
+        return resp
+
+    app.router.add_get("/health", health)
+    app.router.add_get("/version", version)
+    app.router.add_get("/v1/models", models)
+    app.router.add_get("/metrics", prom_metrics)
+    app.router.add_get("/v1/options", options)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/completions", completions)
+    return app
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("zhilight_tpu OpenAI server")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--served-model-name", default=None)
+    p.add_argument("--api-key", default=None)
+    p.add_argument("--max-model-len", type=int, default=8192)
+    p.add_argument("--tensor-parallel", "-tp", type=int, default=1)
+    p.add_argument("--data-parallel", "-dp", type=int, default=1)
+    p.add_argument("--dyn-max-batch-size", type=int, default=32)
+    p.add_argument("--max-total-token", type=int, default=32768)
+    p.add_argument("--chunk-size", type=int, default=512)
+    p.add_argument("--enable-prefix-caching", action="store_true")
+    p.add_argument("--enable-reasoning", action="store_true")
+    p.add_argument("--ignore-eos", action="store_true")
+    p.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    p.add_argument("--nnodes", type=int, default=1)
+    p.add_argument("--node-rank", type=int, default=0)
+    p.add_argument("--dist-init-addr", default=None)
+    p.add_argument(
+        "--environ",
+        action="append",
+        default=[],
+        help="KEY=VAL set before engine init (reference preparse_cli_args)",
+    )
+    return p.parse_args(argv)
+
+
+def make_engine_config(args) -> EngineConfig:
+    return EngineConfig(
+        model_path=args.model_path,
+        max_model_len=args.max_model_len,
+        cache=CacheConfig(
+            kv_dtype=args.kv_dtype,
+            enable_prefix_caching=args.enable_prefix_caching,
+        ),
+        scheduler=SchedulerConfig(
+            max_batch=args.dyn_max_batch_size,
+            max_total_token=args.max_total_token,
+            chunk_size=args.chunk_size,
+            ignore_eos=args.ignore_eos,
+        ),
+        parallel=ParallelConfig(
+            tp=args.tensor_parallel,
+            dp=args.data_parallel,
+            num_hosts=args.nnodes,
+            host_rank=args.node_rank,
+            coordinator_address=args.dist_init_addr,
+        ),
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    for kv in args.environ:
+        k, _, v = kv.partition("=")
+        os.environ[k] = v
+    logging.basicConfig(level=logging.INFO)
+
+    from ...llm import LLM
+
+    llm = LLM(model_path=args.model_path, engine_config=make_engine_config(args))
+    gen = DynamicBatchGenerator(llm).start()
+    engine = AsyncEngine(llm, gen)
+    served = args.served_model_name or os.path.basename(args.model_path.rstrip("/"))
+
+    if args.node_rank > 0:
+        # multi-host workers serve no HTTP (reference api_server.py:152-154);
+        # they just participate in the jax.distributed mesh.
+        logger.info("worker node %d: serving no HTTP", args.node_rank)
+        import threading
+
+        threading.Event().wait()
+        return
+
+    app = build_app(engine, served, api_key=args.api_key, enable_reasoning=args.enable_reasoning)
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""HF checkpoint loading: safetensors / torch .bin → the engine's param pytree.
+
+Parity target: ``zhilight/loader.py`` ``LLaMALoader`` (HF→internal name
+mapping ``_replace_name`` :250+, multi-file safetensors/pt load,
+convert_quant_dict for GPTQ/AWQ tensors) and the bf16-as-int16 / fp8-as-int8
+view tricks in zhilight/llama.py:187-206 (not needed here: jax/numpy handle
+bf16 natively via ml_dtypes).
+
+HF stores linear weights as [out, in]; this engine stores [in, out] (x @ W),
+so dense kernels are transposed on load. MoE expert weights are stacked to
+[E, in, out] for grouped matmuls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..config.model_config import ModelConfig
+
+__all__ = ["load_hf_state", "map_hf_params", "iter_safetensors"]
+
+
+# ---------------------------------------------------------------------------
+# raw tensor iteration
+# ---------------------------------------------------------------------------
+
+def iter_safetensors(model_path: str) -> Iterable[Tuple[str, np.ndarray]]:
+    """Yield (name, numpy array) from every *.safetensors file in a directory."""
+    try:
+        from safetensors import safe_open
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("safetensors not available") from e
+
+    files = sorted(
+        f for f in os.listdir(model_path) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {model_path}")
+    for fname in files:
+        with safe_open(os.path.join(model_path, fname), framework="np") as f:
+            for name in f.keys():
+                yield name, f.get_tensor(name)
+
+
+def _iter_torch_bin(model_path: str) -> Iterable[Tuple[str, np.ndarray]]:
+    """Fallback loader for .bin / .pt torch checkpoints.
+
+    The reference has a custom mmap'd lazy unpickler (zhilight/lazy_unpickling.py);
+    torch (CPU) is available in this environment so we use it directly.
+    """
+    import torch
+
+    files = sorted(
+        f
+        for f in os.listdir(model_path)
+        if f.endswith(".bin") or f.endswith(".pt")
+    )
+    for fname in files:
+        state = torch.load(
+            os.path.join(model_path, fname), map_location="cpu", mmap=True, weights_only=True
+        )
+        for name, t in state.items():
+            if t.dtype == torch.bfloat16:
+                yield name, t.view(torch.int16).numpy().view(np.dtype("bfloat16"))
+            else:
+                yield name, t.numpy()
+
+
+def iter_checkpoint(model_path: str) -> Iterable[Tuple[str, np.ndarray]]:
+    names = os.listdir(model_path)
+    if any(n.endswith(".safetensors") for n in names):
+        return iter_safetensors(model_path)
+    return _iter_torch_bin(model_path)
+
+
+# ---------------------------------------------------------------------------
+# name mapping
+# ---------------------------------------------------------------------------
+
+# (hf regex, target template, needs_transpose). {i}=layer, {e}=expert.
+# Target path "-" means: intentionally dropped.
+_DENSE_RULES: List[Tuple[str, str, bool]] = [
+    (r"^(model|language_model(\.model)?)\.embed_tokens\.weight$", "embedding.w", False),
+    (r"^(model|language_model(\.model)?)\.norm\.weight$", "final_norm.w", False),
+    (r"^lm_head\.weight$", "lm_head.w", True),
+    (r"L\.input_layernorm\.weight$", "layers.{i}.ln_attn.w", False),
+    (r"L\.post_attention_layernorm\.weight$", "layers.{i}.ln_ff.w", False),
+    # attention
+    (r"L\.self_attn\.(q|k|v|o)_proj\.weight$", "layers.{i}.attn.{m}_proj.w", True),
+    (r"L\.self_attn\.(q|k|v|o)_proj\.bias$", "layers.{i}.attn.{m}_proj.b", False),
+    (r"L\.self_attn\.(q|k)_norm\.weight$", "layers.{i}.attn.{m}_norm.w", False),
+    # MLA (deepseek)
+    (r"L\.self_attn\.q_a_proj\.weight$", "layers.{i}.attn.q_a_proj.w", True),
+    (r"L\.self_attn\.q_a_layernorm\.weight$", "layers.{i}.attn.q_a_norm.w", False),
+    (r"L\.self_attn\.q_b_proj\.weight$", "layers.{i}.attn.q_b_proj.w", True),
+    (r"L\.self_attn\.kv_a_proj_with_mqa\.weight$", "layers.{i}.attn.kv_a_proj.w", True),
+    (r"L\.self_attn\.kv_a_layernorm\.weight$", "layers.{i}.attn.kv_a_norm.w", False),
+    (r"L\.self_attn\.kv_b_proj\.weight$", "layers.{i}.attn.kv_b_proj.w", True),
+    # dense mlp
+    (r"L\.mlp\.(gate|up|down)_proj\.weight$", "layers.{i}.mlp.{m}_proj.w", True),
+    # qwen2-moe / deepseek shared+routed
+    (r"L\.mlp\.gate\.weight$", "layers.{i}.mlp.router.w", True),
+    (r"L\.mlp\.gate\.e_score_correction_bias$", "layers.{i}.mlp.router.e_score_correction_bias", False),
+    (r"L\.mlp\.shared_expert\.(gate|up|down)_proj\.weight$", "layers.{i}.mlp.shared_expert.{m}_proj.w", True),
+    (r"L\.mlp\.shared_experts\.(gate|up|down)_proj\.weight$", "layers.{i}.mlp.shared_expert.{m}_proj.w", True),
+    (r"L\.mlp\.shared_expert_gate\.weight$", "layers.{i}.mlp.shared_expert_gate.w", True),
+    (r"L\.mlp\.experts\.E\.(gate|up|down)_proj\.weight$", "layers.{i}.mlp.experts.{m}_proj.w.{e}", True),
+    # mixtral
+    (r"L\.block_sparse_moe\.gate\.weight$", "layers.{i}.mlp.router.w", True),
+    (r"L\.block_sparse_moe\.experts\.E\.w1\.weight$", "layers.{i}.mlp.experts.gate_proj.w.{e}", True),
+    (r"L\.block_sparse_moe\.experts\.E\.w3\.weight$", "layers.{i}.mlp.experts.up_proj.w.{e}", True),
+    (r"L\.block_sparse_moe\.experts\.E\.w2\.weight$", "layers.{i}.mlp.experts.down_proj.w.{e}", True),
+    # rotary inv_freq buffers occasionally stored in checkpoints
+    (r"rotary_emb\.inv_freq$", "-", False),
+]
+
+
+def _compile_rules():
+    out = []
+    for pat, target, tr in _DENSE_RULES:
+        pat = pat.replace("L", r"^(?:model|language_model(?:\.model)?)\.layers\.(?P<i>\d+)")
+        pat = pat.replace("E", r"(?P<e>\d+)")
+        out.append((re.compile(pat), target, tr))
+    return out
+
+
+_COMPILED_RULES = _compile_rules()
+
+
+def map_hf_name(name: str) -> Optional[Tuple[str, bool, Optional[int]]]:
+    """HF tensor name -> (target path, transpose?, expert index or None)."""
+    for pat, target, tr in _COMPILED_RULES:
+        mobj = pat.search(name)
+        if not mobj:
+            continue
+        if target == "-":
+            return None
+        gd = mobj.groupdict()
+        groups = [g for g in mobj.groups() if g is not None]
+        # {m} = the matched projection letter/name: last non-index group
+        m = None
+        for g in reversed(groups):
+            if g is not None and not g.isdigit():
+                m = g
+                break
+        path = target
+        if "{i}" in path:
+            path = path.replace("{i}", gd["i"])
+        if "{m}" in path:
+            path = path.replace("{m}", m)
+        e = int(gd["e"]) if gd.get("e") is not None else None
+        if "{e}" in path:
+            path = path.replace(".{e}", "")
+        return path, tr, e
+    return None
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+def _set_path(tree: Dict[str, Any], path: str, value):
+    parts = path.split(".")
+    node = tree
+    for part in parts[:-1]:
+        node = node.setdefault(part, {})
+    node[parts[-1]] = value
+
+
+def _get_path(tree: Dict[str, Any], path: str):
+    node = tree
+    for part in path.split("."):
+        node = node[part]
+    return node
+
+
+def map_hf_params(
+    tensors: Iterable[Tuple[str, np.ndarray]],
+    cfg: ModelConfig,
+    dtype=None,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Build the nested param dict from (hf_name, array) pairs."""
+    import jax.numpy as jnp
+
+    dtype = dtype or cfg.jax_dtype
+    tree: Dict[str, Any] = {}
+    expert_stash: Dict[str, Dict[int, np.ndarray]] = {}
+    unmapped: List[str] = []
+
+    for name, arr in tensors:
+        mapped = map_hf_name(name)
+        if mapped is None:
+            if map_hf_name_is_dropped(name):
+                continue
+            unmapped.append(name)
+            continue
+        path, transpose, e = mapped
+        if transpose:
+            arr = np.ascontiguousarray(arr.T)
+        if e is not None:
+            expert_stash.setdefault(path, {})[e] = arr
+        else:
+            cast = arr if arr.dtype == np.dtype("bfloat16") else arr
+            _set_path(tree, path, jnp.asarray(cast, dtype=_target_dtype(path, dtype)))
+
+    for path, experts in expert_stash.items():
+        E = max(experts) + 1
+        stacked = np.stack([experts[i] for i in range(E)], axis=0)
+        _set_path(tree, path, jnp.asarray(stacked, dtype=dtype))
+
+    if strict and unmapped:
+        raise ValueError(f"unmapped checkpoint tensors: {unmapped[:10]}")
+    return tree
+
+
+def _target_dtype(path: str, dtype):
+    import jax.numpy as jnp
+
+    # routers stay fp32 for routing numerics (reference MOE_ROUTER_FLOAT)
+    if ".router." in path:
+        return jnp.float32
+    return dtype
+
+
+def map_hf_name_is_dropped(name: str) -> bool:
+    return name.endswith("rotary_emb.inv_freq") or ".vision" in name
+
+
+def load_hf_state(model_path: str, cfg: ModelConfig, dtype=None) -> Dict[str, Any]:
+    """Load a full HF checkpoint directory into the engine's param pytree."""
+    params = map_hf_params(iter_checkpoint(model_path), cfg, dtype=dtype, strict=False)
+    if cfg.tie_lm_head and "lm_head" in params:
+        del params["lm_head"]
+    return params

@@ -25,18 +25,23 @@ def main():
     from zhilight_tpu.models import llama as L
     from zhilight_tpu.models.base import DecodeMeta
 
-    # Llama-2-7B geometry (BASELINE.json config[0]) — random weights; decode
-    # perf depends only on shapes.
+    # MiniCPM-2B geometry (reference single-GPU baseline row: QPS 1.67 /
+    # TPOT 26.1ms on 1xAD102, BASELINE.md) — random weights; decode perf
+    # depends only on shapes. Fits one v5e chip in bf16.
     cfg = ModelConfig(
-        model_type="llama",
-        num_layers=32,
-        dim_model=4096,
-        num_heads=32,
-        dim_head=128,
-        num_kv_heads=32,
-        dim_ff=11008,
-        vocab_size=32000,
+        model_type="cpm_dragonfly",
+        num_layers=40,
+        dim_model=2304,
+        num_heads=36,
+        dim_head=64,
+        num_kv_heads=36,
+        dim_ff=5760,
+        vocab_size=122753,
         dtype="bfloat16",
+        scale_emb=12.0,
+        scale_depth=1.4,
+        dim_model_base=256,
+        tie_lm_head=True,
     )
     BATCH = 16
     PAGE = 16
@@ -82,13 +87,13 @@ def main():
     dt = time.perf_counter() - t0
 
     toks_per_s = BATCH * STEPS / dt
-    # ZhiLight Llama-3.1-8B on 2xAD102: TPOT 66.24ms at moderate batch — as a
-    # crude per-chip rate: ~1000/66.24 * est_batch(8) / 2 chips ≈ 60 tok/s/chip.
-    baseline = 60.0
+    # ZhiLight MiniCPM-2B on 1xAD102: TPOT mean 26.1ms (BASELINE.md). At an
+    # equivalent 16-stream decode batch that is 16/0.0261 = 613 tok/s/device.
+    baseline = 613.0
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_7b_bf16",
+                "metric": "decode_tokens_per_sec_minicpm2b_bf16_b16",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / baseline, 3),

@@ -13,4 +13,9 @@ if not os.environ.get("ZT_TEST_TPU"):
 
 import jax
 
+if not os.environ.get("ZT_TEST_TPU"):
+    # the axon sitecustomize registers the TPU plugin and pins
+    # jax_platforms before user code runs; env vars alone don't override it
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_threefry_partitionable", True)

@@ -61,7 +61,12 @@ def run_engine(cfg: ModelConfig, params, tokens: np.ndarray):
     """Prefill the whole prompt then teacher-forced paged decode; returns
     per-position logits for positions [prompt_len-1 ... len(tokens)-1]."""
     rope = L.build_rope(cfg)
-    cache = new_kv_cache(cfg.num_layers, 32, PAGE, cfg.num_kv_heads, cfg.dim_head, jnp.float32)
+    if cfg.mla.enabled:
+        from zhilight_tpu.kvcache import new_latent_cache
+
+        cache = new_latent_cache(cfg.num_layers, 32, PAGE, cfg.mla.latent_dim, jnp.float32)
+    else:
+        cache = new_kv_cache(cfg.num_layers, 32, PAGE, cfg.num_kv_heads, cfg.dim_head, jnp.float32)
 
     prefill_fn = jax.jit(lambda pr, tk, mt, ca: L.forward_prefill(pr, cfg, rope, tk, mt, ca))
     decode_fn = jax.jit(lambda pr, tk, mt, ca: L.forward_decode(pr, cfg, rope, tk, mt, ca))

@@ -152,8 +152,8 @@ class ModelExecutor:
         if cfg.mla.enabled:
             sharding = NamedSharding(self.mesh, P())
             return jax.tree.map(lambda x: jax.device_put(x, sharding), cache)
-        kv_spec = NamedSharding(self.mesh, P(None, None, TP_AXIS, None))
-        sc_spec = NamedSharding(self.mesh, P(None, None, TP_AXIS))
+        kv_spec = NamedSharding(self.mesh, P(TP_AXIS, None, None, None))
+        sc_spec = NamedSharding(self.mesh, P(TP_AXIS, None, None))
         def place(x):
             if x.ndim == 4:
                 return jax.device_put(x, kv_spec)

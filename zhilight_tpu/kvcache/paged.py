@@ -9,11 +9,12 @@ one program regardless of per-task context lengths; page indirection replaces
 resize/defragmentation, and buffer donation of the cache pytree across steps
 replaces the reference's in-place CUDA writes.
 
-Layout: per-layer arrays ``[num_pages, page_size, kv_heads, head_dim]`` held in
-tuples (one leaf per layer, so a layer update touches only its own buffer),
-sharded ``P(None, None, "tp", None)``. MLA latent cache: per-layer
-``[num_pages, page_size, latent_dim]`` (the latent is a single shared "head" —
-reference LATENT_CACHE, batch_generator.cpp:594-596).
+Layout: per-layer arrays ``[kv_heads, num_pages, page_size, head_dim]``
+(head-major so the Pallas decode kernel DMAs one head's page as a contiguous
+``[page_size, head_dim]`` tile), held in tuples (one leaf per layer, so a
+layer update touches only its own buffer), sharded ``P("tp", None, None, None)``.
+MLA latent cache: per-layer ``[num_pages, page_size, latent_dim]`` (the latent
+is a single shared "head" — reference LATENT_CACHE, batch_generator.cpp:594-596).
 """
 
 from __future__ import annotations
@@ -43,15 +44,15 @@ class KVCache:
     """Pytree holding the paged pool.
 
     ``k``/``v`` for standard attention; ``latent`` for MLA compressed cache
-    (exactly one of the two groups is populated). Optional per-(token, head)
+    (exactly one of the two groups is populated). Optional per-(head, token)
     scales when the cache is int8-quantized (reference KVCacheConfig.scale_dtype
     path, transformer_buffer.h:14-16).
     """
 
-    k: Optional[Arrays] = None
+    k: Optional[Arrays] = None          # per layer [H, P, S, D]
     v: Optional[Arrays] = None
-    latent: Optional[Arrays] = None
-    k_scale: Optional[Arrays] = None
+    latent: Optional[Arrays] = None     # per layer [P, S, latent]
+    k_scale: Optional[Arrays] = None    # per layer [H, P, S]
     v_scale: Optional[Arrays] = None
 
     def tree_flatten(self):
@@ -66,12 +67,16 @@ class KVCache:
         return (self.k or self.latent)[0]
 
     @property
+    def is_latent(self) -> bool:
+        return self.latent is not None
+
+    @property
     def num_pages(self) -> int:
-        return self._ref.shape[0]
+        return self._ref.shape[0] if self.is_latent else self._ref.shape[1]
 
     @property
     def page_size(self) -> int:
-        return self._ref.shape[1]
+        return self._ref.shape[1] if self.is_latent else self._ref.shape[2]
 
     @property
     def num_layers(self) -> int:
@@ -99,11 +104,11 @@ def new_kv_cache(
     dtype=jnp.bfloat16,
     quantized: bool = False,
 ) -> KVCache:
-    shape = (num_pages, page_size, num_kv_heads, head_dim)
+    shape = (num_kv_heads, num_pages, page_size, head_dim)
     store_dtype = jnp.int8 if quantized else dtype
     mk = lambda: tuple(jnp.zeros(shape, dtype=store_dtype) for _ in range(num_layers))
     if quantized:
-        sshape = (num_pages, page_size, num_kv_heads)
+        sshape = (num_kv_heads, num_pages, page_size)
         mks = lambda: tuple(jnp.zeros(sshape, dtype=jnp.float32) for _ in range(num_layers))
         return KVCache(k=mk(), v=mk(), k_scale=mks(), v_scale=mks())
     return KVCache(k=mk(), v=mk())
@@ -116,14 +121,15 @@ def new_latent_cache(
     return KVCache(latent=tuple(jnp.zeros(shape, dtype=dtype) for _ in range(num_layers)))
 
 
-def _flat(cache_layer: jax.Array) -> jax.Array:
-    """[P, page, ...] -> [P*page, ...]"""
-    return cache_layer.reshape((-1,) + cache_layer.shape[2:])
+def _scatter_rows_headmajor(layer_arr: jax.Array, idx: jax.Array, rows: jax.Array) -> jax.Array:
+    """layer_arr [H, P, S, ...]; rows [T, H, ...]; idx [T] flat (page*S+off).
 
-
-def _scatter_rows(layer_arr: jax.Array, idx: jax.Array, rows: jax.Array) -> jax.Array:
-    """Scatter ``rows`` at flat slots ``idx`` (out-of-range indices dropped)."""
-    flat = _flat(layer_arr).at[idx].set(rows.astype(layer_arr.dtype), mode="drop")
+    Out-of-range indices are dropped.
+    """
+    H = layer_arr.shape[0]
+    flat = layer_arr.reshape((H, -1) + layer_arr.shape[3:])  # [H, P*S, ...]
+    rows_hm = jnp.moveaxis(rows.astype(layer_arr.dtype), 1, 0)  # [H, T, ...]
+    flat = flat.at[:, idx].set(rows_hm, mode="drop")
     return flat.reshape(layer_arr.shape)
 
 
@@ -144,16 +150,16 @@ def write_kv(
         v_q, v_s = _quantize_rows(v_new)
         return cache.set_layer(
             layer,
-            k=_scatter_rows(cache.k[layer], idx, k_q),
-            v=_scatter_rows(cache.v[layer], idx, v_q),
-            k_scale=_scatter_rows(cache.k_scale[layer], idx, k_s),
-            v_scale=_scatter_rows(cache.v_scale[layer], idx, v_s),
+            k=_scatter_rows_headmajor(cache.k[layer], idx, k_q),
+            v=_scatter_rows_headmajor(cache.v[layer], idx, v_q),
+            k_scale=_scatter_rows_headmajor(cache.k_scale[layer], idx, k_s),
+            v_scale=_scatter_rows_headmajor(cache.v_scale[layer], idx, v_s),
         )
 
     return cache.set_layer(
         layer,
-        k=_scatter_rows(cache.k[layer], idx, k_new),
-        v=_scatter_rows(cache.v[layer], idx, v_new),
+        k=_scatter_rows_headmajor(cache.k[layer], idx, k_new),
+        v=_scatter_rows_headmajor(cache.v[layer], idx, v_new),
     )
 
 
@@ -165,9 +171,10 @@ def write_latent(
 ) -> KVCache:
     cap = cache.num_pages * cache.page_size
     idx = jnp.where(slot_mapping >= 0, slot_mapping, cap)
-    return cache.set_layer(
-        layer, latent=_scatter_rows(cache.latent[layer], idx, latent_new)
-    )
+    arr = cache.latent[layer]
+    flat = arr.reshape((-1,) + arr.shape[2:])
+    flat = flat.at[idx].set(latent_new.astype(arr.dtype), mode="drop")
+    return cache.set_layer(layer, latent=flat.reshape(arr.shape))
 
 
 def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -190,13 +197,16 @@ def gather_kv(
     """
     S = cache.page_size
     safe = jnp.maximum(page_indices, 0)
-    k = cache.k[layer][safe]  # [..., page, S, H, D]
-    v = cache.v[layer][safe]
+    k = cache.k[layer][:, safe]  # [H, *lead, pages, S, D]
+    v = cache.v[layer][:, safe]
     if cache.quantized:
-        ks = cache.k_scale[layer][safe]
-        vs = cache.v_scale[layer][safe]
+        ks = cache.k_scale[layer][:, safe]
+        vs = cache.v_scale[layer][:, safe]
         k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
         v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+    # [H, *lead, pages, S, D] -> [*lead, pages*S, H, D]
+    k = jnp.moveaxis(k, 0, -2)
+    v = jnp.moveaxis(v, 0, -2)
     newshape = page_indices.shape[:-1] + (page_indices.shape[-1] * S,) + k.shape[-2:]
     return k.reshape(newshape), v.reshape(newshape)
 

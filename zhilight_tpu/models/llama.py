@@ -84,6 +84,25 @@ def _maybe_qk_norm(p: Params, cfg: ModelConfig, q: jax.Array, k: jax.Array):
     return layer_norm(q, p["q_norm"]["w"], cfg.eps), layer_norm(k, p["k_norm"]["w"], cfg.eps)
 
 
+def _use_pallas_decode(cfg: ModelConfig, cache: KVCache) -> bool:
+    """Route decode attention to the Pallas paged kernel on TPU.
+
+    Requirements: lane-aligned head_dim; int8 cache uses the jnp dequant path
+    until the quantized kernel variant lands. ZT_NO_PALLAS=1 forces the XLA
+    fallback for debugging.
+    """
+    import os
+
+    if os.environ.get("ZT_NO_PALLAS") == "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if cache.quantized:
+        return False
+    # blocks span the full head_dim, so any 8-aligned D lowers (D < 128 pads lanes)
+    return cfg.dim_head % 8 == 0
+
+
 def attention_layer(
     p: Params,
     cfg: ModelConfig,
@@ -111,6 +130,18 @@ def attention_layer(
         ck, cv = gather_kv(cache, layer_idx, meta.page_table)
         out = prefill_attention(
             q, ck, cv, meta.cache_len, meta.q_len, scale, cfg.sliding_window
+        )
+    elif _use_pallas_decode(cfg, cache):
+        from ..ops.pallas.paged_attention import paged_decode_attention
+
+        out = paged_decode_attention(
+            q,
+            cache.k[layer_idx],
+            cache.v[layer_idx],
+            meta.page_tables,
+            meta.context_lens,
+            scale,
+            cfg.sliding_window,
         )
     else:
         ck, cv = gather_kv(cache, layer_idx, meta.page_tables)
@@ -286,13 +317,28 @@ def init_params(cfg: ModelConfig, rng: jax.Array, dtype=None) -> Params:
         return p
 
     def layer(i: int) -> Params:
-        attn = {
-            "q_proj": lin(d, hq * dh, cfg.attn_bias),
-            "k_proj": lin(d, hkv * dh, cfg.attn_bias),
-            "v_proj": lin(d, hkv * dh, cfg.attn_bias),
-            "o_proj": lin(hq * dh, d),
-        }
-        if cfg.qk_norm:
+        if cfg.mla.enabled:
+            m = cfg.mla
+            attn = {
+                "kv_a_proj": lin(d, m.kv_lora_rank + m.qk_rope_head_dim),
+                "kv_a_norm": {"w": jnp.ones((m.kv_lora_rank,), dtype)},
+                "kv_b_proj": lin(m.kv_lora_rank, hq * (m.qk_nope_head_dim + m.v_head_dim)),
+                "o_proj": lin(hq * m.v_head_dim, d),
+            }
+            if m.q_lora_rank:
+                attn["q_a_proj"] = lin(d, m.q_lora_rank)
+                attn["q_a_norm"] = {"w": jnp.ones((m.q_lora_rank,), dtype)}
+                attn["q_b_proj"] = lin(m.q_lora_rank, hq * m.qk_head_dim)
+            else:
+                attn["q_proj"] = lin(d, hq * m.qk_head_dim)
+        else:
+            attn = {
+                "q_proj": lin(d, hq * dh, cfg.attn_bias),
+                "k_proj": lin(d, hkv * dh, cfg.attn_bias),
+                "v_proj": lin(d, hkv * dh, cfg.attn_bias),
+                "o_proj": lin(hq * dh, d),
+            }
+        if cfg.qk_norm and not cfg.mla.enabled:
             attn["q_norm"] = {"w": jnp.ones((dh,), dtype)}
             attn["k_norm"] = {"w": jnp.ones((dh,), dtype)}
         if cfg.is_moe_layer(i):

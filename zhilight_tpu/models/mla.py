@@ -1,0 +1,205 @@
+"""Multi-head Latent Attention (DeepSeek-V2/V3).
+
+Parity target: reference ``Attention::impl::MLAImpl``
+(src/nn/attention/multi_head_latent_attention.cpp, 1503 LoC): low-rank q
+(q_a/q_b) and kv (kv_a_proj_with_mqa / kv_b_proj) projections, the compressed
+latent KV cache storing ``kv_lora_rank + qk_rope_head_dim`` per token
+(LATENT_CACHE, batch_generator.cpp:594-596), and the absorbed-weight decode
+path (``forward_compressed_cache``) where attention runs entirely in latent
+space as single-"head" MQA:
+
+  q_latent[h]  = q_nope[h] @ W_UK[h]          (absorb k up-projection)
+  score        = q_latent · c_kv + q_pe · k_pe
+  out_latent   = softmax(score) · c_kv
+  out[h]       = out_latent @ W_UV[h]         (absorb v up-projection)
+
+Prefill decompresses gathered latents through kv_b_proj (handles chunked
+prefill / prefix-cache hits uniformly). Softmax scale follows DeepSeek YaRN:
+qk_head_dim^-0.5 * yarn_mscale(factor, mscale_all_dim)^2.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.model_config import ModelConfig
+from ..kvcache.paged import KVCache, gather_latent, write_latent
+from ..ops.attention import NEG_INF
+from ..ops.linear import linear
+from ..ops.norms import rms_norm
+from ..ops.rope import RopeTable, apply_rope
+
+__all__ = ["mla_attention_layer", "mla_softmax_scale"]
+
+Params = Dict[str, jax.Array]
+
+
+def _yarn_mscale(scale: float, mscale: float) -> float:
+    if scale <= 1.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def mla_softmax_scale(cfg: ModelConfig) -> float:
+    scale = 1.0 / math.sqrt(cfg.mla.qk_head_dim)
+    r = cfg.rope
+    if r.type == "yarn" and r.mscale_all_dim:
+        m = _yarn_mscale(r.factor, r.mscale_all_dim)
+        scale = scale * m * m
+    return scale
+
+
+def _project_q(p: Params, cfg: ModelConfig, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Returns (q_nope [T, H, nope], q_pe [T, H, rope])."""
+    m = cfg.mla
+    T = x.shape[0]
+    if m.q_lora_rank:
+        qa = linear(p["q_a_proj"], x)
+        qa = rms_norm(qa, p["q_a_norm"]["w"], cfg.eps)
+        q = linear(p["q_b_proj"], qa)
+    else:
+        q = linear(p["q_proj"], x)
+    q = q.reshape(T, cfg.num_heads, m.qk_head_dim)
+    return q[..., : m.qk_nope_head_dim], q[..., m.qk_nope_head_dim :]
+
+
+def _kv_b_weights(p: Params, cfg: ModelConfig) -> Tuple[jax.Array, jax.Array]:
+    """Split kv_b_proj [lora, H*(nope+v)] into W_UK [lora, H, nope] and
+    W_UV [lora, H, v]."""
+    m = cfg.mla
+    w = p["kv_b_proj"]["w"].reshape(
+        m.kv_lora_rank, cfg.num_heads, m.qk_nope_head_dim + m.v_head_dim
+    )
+    return w[..., : m.qk_nope_head_dim], w[..., m.qk_nope_head_dim :]
+
+
+def mla_attention_layer(
+    p: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    x: jax.Array,  # [T, D]
+    positions: jax.Array,
+    cache: KVCache,
+    layer_idx: int,
+    meta,
+    mode: str,
+) -> Tuple[jax.Array, KVCache]:
+    m = cfg.mla
+    T = x.shape[0]
+    scale = mla_softmax_scale(cfg)
+
+    q_nope, q_pe = _project_q(p, cfg, x)
+    cos, sin = rope.cos_sin(positions)
+    q_pe = apply_rope(q_pe, cos, sin, rope.neox_style)
+
+    kv_a = linear(p["kv_a_proj"], x)  # [T, lora + rope]
+    c_kv = rms_norm(kv_a[..., : m.kv_lora_rank], p["kv_a_norm"]["w"], cfg.eps)
+    k_pe = kv_a[..., m.kv_lora_rank :][:, None, :]  # [T, 1, rope]
+    k_pe = apply_rope(k_pe, cos, sin, rope.neox_style)[:, 0]  # [T, rope]
+
+    latent = jnp.concatenate([c_kv, k_pe], axis=-1)  # [T, latent_dim]
+    cache = write_latent(cache, layer_idx, latent, meta.slot_mapping)
+
+    w_uk, w_uv = _kv_b_weights(p, cfg)
+
+    if mode == "prefill":
+        ctx = gather_latent(cache, layer_idx, meta.page_table)  # [KV, latent]
+        out = _mla_prefill(
+            q_nope, q_pe, ctx, w_uk, w_uv, meta.cache_len, meta.q_len, scale, m
+        )
+    else:
+        ctx = gather_latent(cache, layer_idx, meta.page_tables)  # [B, KV, latent]
+        out = _mla_decode(q_nope, q_pe, ctx, w_uk, w_uv, meta.context_lens, scale, m)
+
+    out = out.reshape(T, cfg.num_heads * m.v_head_dim)
+    return linear(p["o_proj"], out), cache
+
+
+def _mla_decode(
+    q_nope: jax.Array,  # [B, H, nope]
+    q_pe: jax.Array,  # [B, H, rope]
+    ctx: jax.Array,  # [B, KV, lora + rope]
+    w_uk: jax.Array,  # [lora, H, nope]
+    w_uv: jax.Array,  # [lora, H, v]
+    context_lens: jax.Array,
+    scale: float,
+    m,
+) -> jax.Array:
+    """Absorbed-weight MQA in latent space (reference forward_compressed_cache)."""
+    B, KV = ctx.shape[0], ctx.shape[1]
+    c_kv = ctx[..., : m.kv_lora_rank]
+    k_pe = ctx[..., m.kv_lora_rank :]
+
+    # absorb: q into latent space [B, H, lora]
+    q_latent = jnp.einsum(
+        "bhn,lhn->bhl", q_nope, w_uk, preferred_element_type=jnp.float32
+    ).astype(q_nope.dtype)
+
+    scores = jnp.einsum(
+        "bhl,bsl->bhs", q_latent, c_kv, preferred_element_type=jnp.float32
+    )
+    scores += jnp.einsum(
+        "bhr,bsr->bhs", q_pe, k_pe, preferred_element_type=jnp.float32
+    )
+    scores *= scale
+
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (B, KV), 1)
+    mask = k_pos < context_lens[:, None]
+    scores = jnp.where(mask[:, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    out_latent = jnp.einsum(
+        "bhs,bsl->bhl", probs.astype(c_kv.dtype), c_kv, preferred_element_type=jnp.float32
+    ).astype(q_nope.dtype)
+    return jnp.einsum(
+        "bhl,lhv->bhv", out_latent, w_uv, preferred_element_type=jnp.float32
+    ).astype(q_nope.dtype)
+
+
+def _mla_prefill(
+    q_nope: jax.Array,  # [T, H, nope]
+    q_pe: jax.Array,  # [T, H, rope]
+    ctx: jax.Array,  # [KV, lora + rope]
+    w_uk: jax.Array,
+    w_uv: jax.Array,
+    cache_len: jax.Array,
+    q_len: jax.Array,
+    scale: float,
+    m,
+) -> jax.Array:
+    """Chunk prefill: decompress context latents to per-head K/V then causal
+    attention (reference non-absorbed encode path; decompression covers
+    chunked-prefill and prefix-cache tokens uniformly)."""
+    T, H = q_nope.shape[0], q_nope.shape[1]
+    KV = ctx.shape[0]
+    c_kv = ctx[..., : m.kv_lora_rank]
+    k_pe = ctx[..., m.kv_lora_rank :]  # [KV, rope]
+
+    k_nope = jnp.einsum(
+        "sl,lhn->shn", c_kv, w_uk, preferred_element_type=jnp.float32
+    ).astype(q_nope.dtype)
+    v = jnp.einsum(
+        "sl,lhv->shv", c_kv, w_uv, preferred_element_type=jnp.float32
+    ).astype(q_nope.dtype)
+
+    scores = jnp.einsum(
+        "thn,shn->hts", q_nope, k_nope, preferred_element_type=jnp.float32
+    )
+    scores += jnp.einsum(
+        "thr,sr->hts", q_pe, k_pe, preferred_element_type=jnp.float32
+    )
+    scores *= scale
+
+    q_pos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (T, KV), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, KV), 1)
+    mask = (k_pos <= q_pos) & (k_pos < cache_len + q_len)
+    scores = jnp.where(mask[None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    return jnp.einsum(
+        "hts,shv->thv", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q_nope.dtype)

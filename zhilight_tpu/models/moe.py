@@ -80,20 +80,36 @@ def select_experts(
     return weights, expert_ids.astype(jnp.int32)
 
 
+def _expert_weight(p: Params, dtype) -> jax.Array:
+    """Stacked expert weight [E, in, out]; dequantizes canonical int4/fp8
+    stacks (reference GPTQMOE / FP8BlockMOE paths) into the compute dtype."""
+    if "w" in p:
+        return p["w"]
+    if "w_p" in p:
+        from ..ops.quant import dequant_int4
+
+        w = jax.vmap(lambda wp, s, z: dequant_int4(wp, s, z, dtype))(
+            p["w_p"], p["scales"], p["zeros"]
+        )
+        return w
+    raise ValueError(f"unknown expert weight format: {sorted(p.keys())}")
+
+
 def _grouped_experts(
     p_experts: Params,  # stacked weights: [E, in, out] per proj
     x_sorted: jax.Array,  # [T*K, D] tokens sorted by expert
     group_sizes: jax.Array,  # [E]
     act: str,
 ) -> jax.Array:
+    dt = x_sorted.dtype
     if "gate_up_proj" in p_experts:
-        gu = jax.lax.ragged_dot(x_sorted, p_experts["gate_up_proj"]["w"], group_sizes)
+        gu = jax.lax.ragged_dot(x_sorted, _expert_weight(p_experts["gate_up_proj"], dt), group_sizes)
         g, u = jnp.split(gu, 2, axis=-1)
     else:
-        g = jax.lax.ragged_dot(x_sorted, p_experts["gate_proj"]["w"], group_sizes)
-        u = jax.lax.ragged_dot(x_sorted, p_experts["up_proj"]["w"], group_sizes)
+        g = jax.lax.ragged_dot(x_sorted, _expert_weight(p_experts["gate_proj"], dt), group_sizes)
+        u = jax.lax.ragged_dot(x_sorted, _expert_weight(p_experts["up_proj"], dt), group_sizes)
     h = gated_act(g, u, act)
-    return jax.lax.ragged_dot(h, p_experts["down_proj"]["w"], group_sizes)
+    return jax.lax.ragged_dot(h, _expert_weight(p_experts["down_proj"], dt), group_sizes)
 
 
 def moe_layer(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:

@@ -2,15 +2,17 @@
 
 This is the TPU-native replacement for the reference's fused batch MQA/GQA
 WMMA decode kernels over ragged buffers (src/nn/attention/attention_kernel.cu
-KERNEL_mqa_rag_buffer family, :539-1100) and its flash-decoding integration:
-one grid step per (sequence, kv-head, page), online-softmax accumulation in
-VMEM scratch, pages streamed HBM→VMEM by the Pallas pipeline using block
-indices taken from the scalar-prefetched page table. Out-of-range pages clamp
-to the previous block index so the pipeline skips the redundant DMA.
+KERNEL_mqa_rag_buffer family, :539-1100) and its flash-decoding integration.
 
-Supports GQA (query-head groups), optional sliding window, and an int8
-quantized cache variant with per-(token, head) scales (reference
-quant_attention.cuh path).
+Design (bandwidth-first — decode attention is HBM-bound):
+  * K/V pages stay in HBM (`memory_space=ANY`); the kernel DMAs
+    ``pages_per_block`` pages at a time into a double-buffered VMEM scratch,
+    prefetching block i+1 while computing block i, so the per-DMA issue
+    latency is hidden and the stream runs at HBM bandwidth.
+  * grid = (batch, page_blocks); page indices come from the scalar-prefetched
+    block table; out-of-range pages skip both copy and compute.
+  * online-softmax accumulation in fp32 VMEM scratch across page blocks;
+    batched-head matmuls serve GQA (G>1) and MHA (G=1) alike.
 """
 
 from __future__ import annotations
@@ -32,24 +34,139 @@ def _kernel(
     # scalar prefetch
     page_tables_ref,  # [B, maxp] int32 (SMEM)
     context_lens_ref,  # [B] int32 (SMEM)
-    # blocks
-    q_ref,  # [1, 1, G, D]
-    k_ref,  # [1, S, 1, D]
-    v_ref,  # [1, S, 1, D]
-    o_ref,  # [1, 1, G, D]
+    # inputs
+    q_ref,  # [1, Hkv, G, D] VMEM
+    k_hbm,  # [Hkv, P, S, D] ANY (HBM)
+    v_hbm,  # [Hkv, P, S, D] ANY (HBM)
+    # output
+    o_ref,  # [1, Hkv, G, D] VMEM
     # scratch
-    m_ref,  # [G, 1] f32
-    l_ref,  # [G, 1] f32
-    acc_ref,  # [G, D] f32
+    m_ref,  # [Hkv, G, 1] f32
+    l_ref,  # [Hkv, G, 1] f32
+    acc_ref,  # [Hkv, G, D] f32
+    k_buf,  # [2, Hkv, PPB*S, D]
+    v_buf,  # [2, Hkv, PPB*S, D]
+    sems,  # DMA semaphores [2, 2, PPB]
     *,
     page_size: int,
-    num_pages_per_seq: int,
+    pages_per_block: int,
+    num_blocks: int,
     scale: float,
     sliding_window: int,
 ):
     b = pl.program_id(0)
-    i = pl.program_id(2)
+    i = pl.program_id(1)
+    S, PPB = page_size, pages_per_block
     ctx = context_lens_ref[b]
+    num_valid_pages = pl.cdiv(ctx, S)
+
+    def start_copies(block_idx, slot):
+        # issue one async copy per page of the block; skip invalid pages
+        for j in range(PPB):
+            page_pos = block_idx * PPB + j
+
+            @pl.when(page_pos < num_valid_pages)
+            def _():
+                page = page_tables_ref[b, page_pos]
+                pltpu.make_async_copy(
+                    k_hbm.at[:, page], k_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 0, j]
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[:, page], v_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 1, j]
+                ).start()
+
+    def wait_copies(block_idx, slot):
+        for j in range(PPB):
+            page_pos = block_idx * PPB + j
+
+            @pl.when(page_pos < num_valid_pages)
+            def _():
+                page = page_tables_ref[b, page_pos]
+                pltpu.make_async_copy(
+                    k_hbm.at[:, page], k_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 0, j]
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[:, page], v_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 1, j]
+                ).wait()
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        start_copies(0, 0)
+
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+    block_active = (i * PPB) < num_valid_pages
+
+    @pl.when(jnp.logical_and(i + 1 < num_blocks, ((i + 1) * PPB) < num_valid_pages))
+    def _prefetch():
+        start_copies(i + 1, next_slot)
+
+    @pl.when(block_active)
+    def _compute():
+        wait_copies(i, slot)
+        q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
+        k = k_buf[slot].astype(jnp.float32)  # [Hkv, PPB*S, D]
+        v = v_buf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [Hkv, G, PPB*S]
+        s = s * scale
+
+        token_idx = i * (PPB * S) + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=2
+        )
+        mask = token_idx < ctx
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, token_idx > ctx - 1 - sliding_window)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        m_ref[...] = m_new
+
+    @pl.when(i == num_blocks - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[...], 1e-20)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def _kernel_bs(
+    # scalar prefetch
+    page_tables_ref,
+    context_lens_ref,
+    # blocks
+    q_ref,  # [1, Hkv, G, D]
+    k_ref,  # [Hkv, 1, S, D]
+    v_ref,  # [Hkv, 1, S, D]
+    o_ref,  # [1, Hkv, G, D]
+    # scratch
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    page_size: int,
+    pages_per_seq: int,
+    scale: float,
+    sliding_window: int,
+):
+    """BlockSpec-pipelined variant (one page per step). Used when head_dim is
+    not lane-aligned (D % 128 != 0): Mosaic cannot DMA slices of lane-padded
+    arrays, so the pipeline does the page fetches instead. Out-of-range steps
+    clamp to the previous page index, which skips the redundant fetch."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ctx = context_lens_ref[b]
+    S = page_size
 
     @pl.when(i == 0)
     def _init():
@@ -57,92 +174,143 @@ def _kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    num_valid_pages = pl.cdiv(ctx, page_size)
+    num_valid_pages = pl.cdiv(ctx, S)
 
     @pl.when(jnp.logical_and(i < num_valid_pages, ctx > 0))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
-        k = k_ref[0, :, 0, :].astype(jnp.float32)  # [S, D]
-        v = v_ref[0, :, 0, :].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[:, 0].astype(jnp.float32)
+        v = v_ref[:, 0].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, S]
-        s = s * scale
-
-        token_idx = i * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
+        s = s * scale
+        token_idx = i * S + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
         mask = token_idx < ctx
         if sliding_window > 0:
             mask = jnp.logical_and(mask, token_idx > ctx - 1 - sliding_window)
         s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_ref[...]  # [G, 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [G, S]
-        alpha = jnp.exp(m_prev - m_new)  # [G, 1]
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         m_ref[...] = m_new
 
-    @pl.when(i == num_pages_per_seq - 1)
+    @pl.when(i == pages_per_seq - 1)
     def _finish():
         l = jnp.maximum(l_ref[...], 1e-20)
-        o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def _paged_decode_blockspec(
+    q_g, k_pages, v_pages, safe_tables, context_lens, scale, sliding_window, interpret
+):
+    B, Hkv, G, D = q_g.shape
+    _, P, S, _ = k_pages.shape
+    maxp = safe_tables.shape[1]
+
+    def q_index(b, i, *_):
+        return (b, 0, 0, 0)
+
+    def kv_index(b, i, page_tables_ref, context_lens_ref):
+        ctx = context_lens_ref[b]
+        valid = pl.cdiv(ctx, S)
+        page = page_tables_ref[b, jnp.minimum(i, jnp.maximum(valid - 1, 0))]
+        return (0, page, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, maxp),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, G, D), q_index),
+            pl.BlockSpec((Hkv, 1, S, D), kv_index),
+            pl.BlockSpec((Hkv, 1, S, D), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_bs,
+        page_size=S,
+        pages_per_seq=maxp,
+        scale=scale,
+        sliding_window=sliding_window,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q_g.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(safe_tables, context_lens, q_g, k_pages, v_pages)
 
 
 def paged_decode_attention(
     q: jax.Array,  # [B, Hq, D]
-    k_pages: jax.Array,  # [P, S, Hkv, D]
-    v_pages: jax.Array,  # [P, S, Hkv, D]
+    k_pages: jax.Array,  # [Hkv, P, S, D]
+    v_pages: jax.Array,  # [Hkv, P, S, D]
     page_tables: jax.Array,  # [B, maxp] int32, -1 padded
     context_lens: jax.Array,  # [B] int32
     scale: float,
     sliding_window: int = 0,
+    pages_per_block: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     B, Hq, D = q.shape
-    P, S, Hkv, _ = k_pages.shape
+    Hkv, P, S, _ = k_pages.shape
     G = Hq // Hkv
     maxp = page_tables.shape[1]
+    PPB = min(pages_per_block, maxp)
+    num_blocks = (maxp + PPB - 1) // PPB
 
     q_g = q.reshape(B, Hkv, G, D)
-    # clamp page indices: padding (-1) reuses the previous valid page so the
-    # pipeline's same-index detection skips the fetch
     safe_tables = jnp.maximum(page_tables, 0)
 
-    def q_index(b, h, i, *_):
-        return (b, h, 0)
+    if D % 128 != 0:
+        # lane-padded head dims can't be DMA-sliced by Mosaic; use the
+        # BlockSpec-pipelined variant (bigger page_size recommended there)
+        return _paged_decode_blockspec(
+            q_g, k_pages, v_pages, safe_tables, context_lens, scale,
+            sliding_window, interpret,
+        ).reshape(B, Hq, D)
 
-    def kv_index(b, h, i, page_tables_ref, context_lens_ref):
-        ctx = context_lens_ref[b]
-        valid = pl.cdiv(ctx, S)
-        page = page_tables_ref[b, jnp.minimum(i, jnp.maximum(valid - 1, 0))]
-        return (page, 0, h, 0)
+    def q_index(b, i, *_):
+        return (b, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv, maxp),
+        grid=(B, num_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1, G, D), q_index),
-            pl.BlockSpec((1, S, 1, D), kv_index),
-            pl.BlockSpec((1, S, 1, D), kv_index),
+            pl.BlockSpec((1, Hkv, G, D), q_index),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, G, D), q_index),
+        out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
         scratch_shapes=[
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, D), jnp.float32),
+            pltpu.VMEM((2, Hkv, PPB * S, D), k_pages.dtype),
+            pltpu.VMEM((2, Hkv, PPB * S, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, PPB)),
         ],
     )
 
     kernel = functools.partial(
         _kernel,
         page_size=S,
-        num_pages_per_seq=maxp,
+        pages_per_block=PPB,
+        num_blocks=num_blocks,
         scale=scale,
         sliding_window=sliding_window,
     )
@@ -152,7 +320,7 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(safe_tables, context_lens, q_g, k_pages, v_pages)

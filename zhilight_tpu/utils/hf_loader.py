@@ -179,21 +179,53 @@ def _get_path(tree: Dict[str, Any], path: str):
     return node
 
 
+_QUANT_SUFFIXES = ("qweight", "qzeros", "scales", "g_idx", "weight_scale", "weight_scale_inv")
+
+
 def map_hf_params(
     tensors: Iterable[Tuple[str, np.ndarray]],
     cfg: ModelConfig,
     dtype=None,
     strict: bool = True,
+    quant_method: Optional[str] = None,
 ) -> Dict[str, Any]:
-    """Build the nested param dict from (hf_name, array) pairs."""
+    """Build the nested param dict from (hf_name, array) pairs.
+
+    ``quant_method`` ("gptq" | "awq" | "fp8") converts packed checkpoint
+    tensors into the engine's canonical quant formats (reference
+    convert_quant_dict, zhilight/loader.py:199-244).
+    """
     import jax.numpy as jnp
 
     dtype = dtype or cfg.jax_dtype
     tree: Dict[str, Any] = {}
     expert_stash: Dict[str, Dict[int, np.ndarray]] = {}
+    quant_stash: Dict[str, Dict[str, Any]] = {}  # linear path -> kind -> array
     unmapped: List[str] = []
 
     for name, arr in tensors:
+        # quantized linear tensors: strip the kind suffix, map the base name
+        kind = None
+        base = name
+        for suf in _QUANT_SUFFIXES:
+            if name.endswith("." + suf):
+                kind = suf
+                base = name[: -(len(suf) + 1)] + ".weight"
+                break
+        if kind is not None:
+            mapped = map_hf_name(base)
+            if mapped is None:
+                unmapped.append(name)
+                continue
+            path, _, e = mapped
+            path = path[: -len(".w")]  # strip trailing .w
+            entry = quant_stash.setdefault(path, {})
+            if e is not None:
+                entry.setdefault(kind, {})[e] = arr
+            else:
+                entry[kind] = arr
+            continue
+
         mapped = map_hf_name(name)
         if mapped is None:
             if map_hf_name_is_dropped(name):
@@ -206,17 +238,53 @@ def map_hf_params(
         if e is not None:
             expert_stash.setdefault(path, {})[e] = arr
         else:
-            cast = arr if arr.dtype == np.dtype("bfloat16") else arr
-            _set_path(tree, path, jnp.asarray(cast, dtype=_target_dtype(path, dtype)))
+            _set_path(tree, path, jnp.asarray(arr, dtype=_target_dtype(path, dtype)))
 
     for path, experts in expert_stash.items():
         E = max(experts) + 1
         stacked = np.stack([experts[i] for i in range(E)], axis=0)
         _set_path(tree, path, jnp.asarray(stacked, dtype=dtype))
 
+    if quant_stash:
+        _convert_quant_stash(tree, quant_stash, quant_method, dtype)
+
     if strict and unmapped:
         raise ValueError(f"unmapped checkpoint tensors: {unmapped[:10]}")
     return tree
+
+
+def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
+    import jax.numpy as jnp
+
+    from .quant_convert import convert_quant_tensors
+
+    for path, entry in quant_stash.items():
+        if quant_method == "fp8":
+            # fp8 checkpoint: .weight handled by the dense rule; the scale
+            # tensors land here
+            scale = entry.get("weight_scale_inv", entry.get("weight_scale"))
+            if scale is not None:
+                _set_path(tree, path + ".block_scale", jnp.asarray(np.ascontiguousarray(scale.T), jnp.float32))
+            continue
+        first = next(iter(entry.values()))
+        if isinstance(first, dict):  # per-expert quant tensors
+            E = max(max(v) for v in entry.values() if isinstance(v, dict)) + 1
+            parts = []
+            for e in range(E):
+                one = {k: v[e] for k, v in entry.items() if isinstance(v, dict)}
+                parts.append(convert_quant_tensors(one, quant_method))
+            canon = {
+                k: np.stack([p[k] for p in parts], axis=0)
+                for k in parts[0]
+                if k != "perm"
+            }
+        else:
+            canon = convert_quant_tensors(entry, quant_method)
+        if canon is None:
+            continue
+        for k, v in canon.items():
+            tgt = jnp.int8 if k == "w_p" else (jnp.int32 if k == "perm" else jnp.float32)
+            _set_path(tree, f"{path}.{k}", jnp.asarray(v, dtype=tgt))
 
 
 def _target_dtype(path: str, dtype):

@@ -1,0 +1,186 @@
+"""Checkpoint-side quantization conversion (numpy, at load time).
+
+Parity targets:
+  - GPTQ/AWQ tensor-dict conversion (reference zhilight/loader.py:199-244
+    ``convert_quant_dict`` + the CUDA repack kernels gptq_marlin_repack.cu /
+    awq_marlin_repack.cu) — here the packed int32 checkpoint tensors are
+    unpacked once into the engine's canonical int4 format (nibble values in
+    int8, groupwise f32 scales/zeros) instead of a GPU-specific tile layout;
+    the Pallas W4A16 kernel consumes that format directly.
+  - AutoInt8 quantize-at-load + SmoothQuant weight scaling
+    (reference Int8Linear load path, linear.cpp:432-630).
+
+Packing conventions implemented (验证 by round-trip tests):
+  GPTQ v1 (AutoGPTQ): qweight int32 [K/8, N], nibble j = input row i*8+j
+    (little-endian); qzeros int32 [G, N/8] with stored value = zero - 1;
+    scales [G, N]; optional g_idx [K] for act_order.
+  AWQ (AutoAWQ "gemm"): qweight int32 [K, N/8], nibble j = output col
+    i*8 + AWQ_ORDER[j] with AWQ_ORDER = (0, 2, 4, 6, 1, 3, 5, 7);
+    qzeros same packing, no offset; scales [G, N].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "unpack_gptq",
+    "unpack_awq",
+    "pack_gptq",
+    "pack_awq",
+    "convert_quant_tensors",
+    "auto_int8_from_fp",
+    "smooth_quant_weights",
+]
+
+AWQ_ORDER = (0, 2, 4, 6, 1, 3, 5, 7)
+
+
+# ---------------------------------------------------------------------------
+# GPTQ
+# ---------------------------------------------------------------------------
+
+def unpack_gptq(
+    qweight: np.ndarray,  # int32 [K/8, N]
+    qzeros: np.ndarray,  # int32 [G, N/8]
+    scales: np.ndarray,  # [G, N]
+    g_idx: Optional[np.ndarray] = None,  # [K]
+) -> Dict[str, np.ndarray]:
+    """Returns canonical {"w_p" int8 [K, N], "scales" f32, "zeros" f32, "perm"?}."""
+    Kp, N = qweight.shape
+    K = Kp * 8
+    G = scales.shape[0]
+
+    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, :, None]
+    w = ((qweight.astype(np.uint32)[:, None, :] >> shifts) & 0xF).reshape(K, N)
+    w_p = w.astype(np.int8)
+
+    zshifts = (np.arange(8, dtype=np.uint32) * 4)[None, None, :]
+    z = ((qzeros.astype(np.uint32)[:, :, None] >> zshifts) & 0xF).reshape(G, -1)
+    zeros = (z.astype(np.float32) + 1.0)  # AutoGPTQ v1 stores zero-1
+
+    out = {
+        "w_p": w_p,
+        "scales": scales.astype(np.float32),
+        "zeros": zeros,
+    }
+    if g_idx is not None and len(g_idx):
+        gs = K // G
+        expected = np.arange(K) // gs
+        if not np.array_equal(g_idx, expected):
+            # act_order: permute rows so each group is contiguous; activations
+            # must be gathered with the same permutation at runtime
+            perm = np.argsort(g_idx, kind="stable")
+            out["w_p"] = np.ascontiguousarray(w_p[perm])
+            out["perm"] = perm.astype(np.int32)
+    return out
+
+
+def pack_gptq(
+    w_p: np.ndarray, zeros: np.ndarray, scales: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of unpack_gptq (used by tests and export)."""
+    K, N = w_p.shape
+    G = scales.shape[0]
+    w = w_p.astype(np.uint32).reshape(K // 8, 8, N)
+    qweight = np.zeros((K // 8, N), np.uint32)
+    for j in range(8):
+        qweight |= w[:, j, :] << (4 * j)
+    z = (zeros.astype(np.uint32) - 1).reshape(G, N // 8, 8)
+    qzeros = np.zeros((G, N // 8), np.uint32)
+    for j in range(8):
+        qzeros |= z[:, :, j] << (4 * j)
+    return qweight.astype(np.int32), qzeros.astype(np.int32), scales
+
+
+# ---------------------------------------------------------------------------
+# AWQ
+# ---------------------------------------------------------------------------
+
+def unpack_awq(
+    qweight: np.ndarray,  # int32 [K, N/8]
+    qzeros: np.ndarray,  # int32 [G, N/8]
+    scales: np.ndarray,  # [G, N]
+) -> Dict[str, np.ndarray]:
+    K, Np = qweight.shape
+    N = Np * 8
+
+    def unpack_cols(a):
+        rows = a.shape[0]
+        shifts = (np.arange(8, dtype=np.uint32) * 4)[None, None, :]
+        nib = (a.astype(np.uint32)[:, :, None] >> shifts) & 0xF  # [rows, N/8, 8]
+        out = np.zeros((rows, Np, 8), np.uint8)
+        for j, col in enumerate(AWQ_ORDER):
+            out[:, :, col] = nib[:, :, j]
+        return out.reshape(rows, N)
+
+    return {
+        "w_p": unpack_cols(qweight).astype(np.int8),
+        "zeros": unpack_cols(qzeros).astype(np.float32),
+        "scales": scales.astype(np.float32),
+    }
+
+
+def pack_awq(
+    w_p: np.ndarray, zeros: np.ndarray, scales: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    K, N = w_p.shape
+
+    def pack_cols(a):
+        rows = a.shape[0]
+        v = a.astype(np.uint32).reshape(rows, N // 8, 8)
+        out = np.zeros((rows, N // 8), np.uint32)
+        for j, col in enumerate(AWQ_ORDER):
+            out |= v[:, :, col] << (4 * j)
+        return out.astype(np.int32)
+
+    return pack_cols(w_p), pack_cols(zeros), scales
+
+
+# ---------------------------------------------------------------------------
+# dict-level conversion
+# ---------------------------------------------------------------------------
+
+def convert_quant_tensors(
+    tensors: Dict[str, np.ndarray], method: str
+) -> Optional[Dict[str, np.ndarray]]:
+    """Convert one linear's {qweight, qzeros, scales, g_idx?} to canonical."""
+    if "qweight" not in tensors:
+        return None
+    if method == "gptq":
+        return unpack_gptq(
+            tensors["qweight"],
+            tensors["qzeros"],
+            tensors["scales"],
+            tensors.get("g_idx"),
+        )
+    if method == "awq":
+        return unpack_awq(tensors["qweight"], tensors["qzeros"], tensors["scales"])
+    raise ValueError(f"unknown quant method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# int8 at load
+# ---------------------------------------------------------------------------
+
+def auto_int8_from_fp(w: np.ndarray) -> Dict[str, np.ndarray]:
+    """Per-output-channel absmax int8 (reference AutoInt8). w [in, out]."""
+    amax = np.abs(w.astype(np.float32)).max(axis=0)
+    scale = np.maximum(amax / 127.0, 1e-8).astype(np.float32)
+    w_q = np.clip(np.round(w.astype(np.float32) / scale), -127, 127).astype(np.int8)
+    return {"w_q": w_q, "scale": scale}
+
+
+def smooth_quant_weights(
+    w: np.ndarray, act_scale: np.ndarray, alpha: float = 0.5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """SmoothQuant migration (reference load_with_smooth_quant,
+    llama.py:214-237): returns (w * s[:, None], 1/s) where
+    s = act_scale^alpha / w_colmax^(1-alpha). The runtime multiplies
+    activations by the returned "smooth" (= 1/s) vector."""
+    w_amax = np.maximum(np.abs(w.astype(np.float32)).max(axis=1), 1e-8)
+    s = np.power(np.maximum(act_scale, 1e-8), alpha) / np.power(w_amax, 1.0 - alpha)
+    s = np.maximum(s, 1e-8).astype(np.float32)
+    return w * s[:, None], (1.0 / s).astype(np.float32)

@@ -60,41 +60,44 @@ def _kernel(
     ctx = context_lens_ref[b]
     num_valid_pages = pl.cdiv(ctx, S)
 
-    def start_copies(block_idx, slot):
-        # issue one async copy per page of the block; skip invalid pages
-        for j in range(PPB):
-            page_pos = block_idx * PPB + j
+    def _page_at(page_pos):
+        # Clamp out-of-range positions to the last valid page so every DMA
+        # lands on real data: the softmax mask removes those tokens, but the
+        # buffers must not hold uninitialized VMEM (0 * NaN = NaN in p @ v).
+        safe_pos = jnp.minimum(page_pos, jnp.maximum(num_valid_pages - 1, 0))
+        return page_tables_ref[b, safe_pos]
 
-            @pl.when(page_pos < num_valid_pages)
-            def _():
-                page = page_tables_ref[b, page_pos]
-                pltpu.make_async_copy(
-                    k_hbm.at[:, page], k_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 0, j]
-                ).start()
-                pltpu.make_async_copy(
-                    v_hbm.at[:, page], v_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 1, j]
-                ).start()
+    def start_copies(block_idx, slot):
+        for j in range(PPB):
+            page = _page_at(block_idx * PPB + j)
+            pltpu.make_async_copy(
+                k_hbm.at[:, page], k_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 0, j]
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[:, page], v_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 1, j]
+            ).start()
 
     def wait_copies(block_idx, slot):
         for j in range(PPB):
-            page_pos = block_idx * PPB + j
-
-            @pl.when(page_pos < num_valid_pages)
-            def _():
-                page = page_tables_ref[b, page_pos]
-                pltpu.make_async_copy(
-                    k_hbm.at[:, page], k_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 0, j]
-                ).wait()
-                pltpu.make_async_copy(
-                    v_hbm.at[:, page], v_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 1, j]
-                ).wait()
+            page = _page_at(block_idx * PPB + j)
+            pltpu.make_async_copy(
+                k_hbm.at[:, page], k_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 0, j]
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[:, page], v_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 1, j]
+            ).wait()
 
     @pl.when(i == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        start_copies(0, 0)
+
+        # start/wait pairing: copies for block X are issued iff block X is
+        # active, and waited under the same predicate in _compute.
+        @pl.when(num_valid_pages > 0)
+        def _():
+            start_copies(0, 0)
 
     slot = jax.lax.rem(i, 2)
     next_slot = jax.lax.rem(i + 1, 2)
@@ -292,8 +295,8 @@ def paged_decode_attention(
         grid=(B, num_blocks),
         in_specs=[
             pl.BlockSpec((1, Hkv, G, D), q_index),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
         scratch_shapes=[

@@ -185,3 +185,31 @@ def test_streaming(tiny_model):
             else:
                 final = ev["output"]
     assert chunks == final.token_ids
+
+
+def test_multi_step_decode_matches(tiny_model):
+    """decode_multi_step > 1 (K tokens per device program) must produce
+    exactly the same greedy tokens, including EOS/max_length mid-window."""
+    cfg, params = tiny_model
+    rng = np.random.RandomState(3)
+    prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (5, 11, 19)]
+    max_new = 7  # not a multiple of the window
+
+    expected = [naive_greedy(cfg, params, p, max_new) for p in prompts]
+
+    llm = make_llm(tiny_model, decode_multi_step=4)
+    with DynamicBatchGenerator(llm) as gen:
+        results = gen.batch_generate(prompts, GeneratorArg(max_length=max_new))
+    got = [r.outputs[0].token_ids for r in results]
+    assert got == expected
+
+
+def test_multi_step_page_boundary(tiny_model):
+    """Window crossing page boundaries (page_size=4) allocates ahead."""
+    cfg, params = tiny_model
+    prompt = [3, 4, 5]
+    expected = naive_greedy(cfg, params, prompt, 10)
+    llm = make_llm(tiny_model, decode_multi_step=8)
+    with DynamicBatchGenerator(llm) as gen:
+        res = gen.generate(prompt, GeneratorArg(max_length=10))
+    assert res.outputs[0].token_ids == expected

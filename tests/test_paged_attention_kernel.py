@@ -38,8 +38,9 @@ def _setup(B=4, Hq=8, Hkv=2, D=128, P=32, S=16, maxp=6, dtype=jnp.float32, seed=
 
 @pytest.mark.parametrize("sliding_window", [0, 24])
 @pytest.mark.parametrize("ppb", [1, 2, 8])
-def test_paged_attention_matches_reference(sliding_window, ppb):
-    q, k_pages, v_pages, page_tables, context_lens = _setup()
+@pytest.mark.parametrize("D", [128, 64])  # 64 exercises the BlockSpec multi-fetch variant
+def test_paged_attention_matches_reference(sliding_window, ppb, D):
+    q, k_pages, v_pages, page_tables, context_lens = _setup(D=D)
     scale = 1.0 / np.sqrt(q.shape[-1])
 
     got = paged_decode_attention(

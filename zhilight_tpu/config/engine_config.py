@@ -56,6 +56,9 @@ class SchedulerConfig:
     seed: int = 0
     # run logits / attention softmax accumulation in fp32
     high_precision: bool = True
+    # decode steps fused into one device program (host syncs once per window;
+    # tokens feed back on device). 0 => auto: 8 on TPU, 1 elsewhere.
+    decode_multi_step: int = 0
 
 
 @dataclass(frozen=True)

@@ -85,6 +85,12 @@ class ModelExecutor:
         self.sampler_state = self._new_sampler_state()
         self.base_key = jax.random.PRNGKey(self.sched_cfg.seed or 0)
 
+        # decode window: steps fused per device program (reference hides
+        # per-step latency with CUDA streams; here tokens feed back on device
+        # and the host syncs once per window)
+        ms = self.sched_cfg.decode_multi_step
+        self.decode_window = ms if ms > 0 else (8 if jax.default_backend() == "tpu" else 1)
+
         self._compiled: Dict[Any, Callable] = {}
 
     # ------------------------------------------------------------------
@@ -222,6 +228,53 @@ class ModelExecutor:
 
         return decode_step
 
+    def _decode_multi_fn(self, num_steps: int, num_logprobs: int):
+        """K decode steps in one program via lax.scan: sampled tokens feed the
+        next step on device, positions/context_lens/slot mappings advance on
+        device, and per-slot ``limits`` freeze slots that hit their token
+        budget mid-window (their writes drop, their outputs are discarded by
+        the host). Replaces the reference's per-token scheduler round trips
+        (batch_generator.cpp:1445-1637) with one host sync per K tokens."""
+        cfg, rope = self.cfg, self.rope
+        S = self.page_size
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def decode_multi(params, tokens, cache, sampler_state, page_tables, positions, context_lens, limits, sparams, key):
+            def body(carry, _):
+                tokens, cache, state, positions, context_lens = carry
+                valid = (context_lens > 0) & (context_lens <= limits)
+                page = jnp.take_along_axis(
+                    page_tables, (positions // S)[:, None], axis=1
+                )[:, 0]
+                slot = jnp.where(valid, page * S + positions % S, -1)
+                meta = DecodeMeta(
+                    positions=positions,
+                    slot_mapping=slot,
+                    page_tables=page_tables,
+                    context_lens=context_lens,
+                )
+                logits, cache = llama_mod.forward_decode(params, cfg, rope, tokens, meta, cache)
+                tok, lp, toplp, toptok, state2 = sample_step(
+                    logits.astype(jnp.float32), state, sparams, key, num_logprobs=num_logprobs
+                )
+                # frozen slots keep their sampler state (penalty counts must
+                # not absorb the garbage tokens they emit)
+                state = SamplerState(
+                    token_counts=jnp.where(valid[:, None], state2.token_counts, state.token_counts),
+                    step=jnp.where(valid, state2.step, state.step),
+                )
+                tokens = jnp.where(valid, tok, tokens)
+                positions = jnp.where(valid, positions + 1, positions)
+                context_lens = jnp.where(valid, context_lens + 1, context_lens)
+                return (tokens, cache, state, positions, context_lens), (tok, lp, toplp, toptok)
+
+            carry = (tokens, cache, sampler_state, positions, context_lens)
+            (tokens, cache, state, _, _), outs = jax.lax.scan(body, carry, None, length=num_steps)
+            tok, lp, toplp, toptok = outs
+            return tok, lp, toplp, toptok, cache, state
+
+        return decode_multi
+
     def _record_fn(self, bucket: int):
         @functools.partial(jax.jit, donate_argnums=(0,))
         def record(state, slot, tokens):
@@ -274,6 +327,37 @@ class ModelExecutor:
             num_logprobs,
         )
         return int(tok), float(lp), np.asarray(toplp), np.asarray(toptok)
+
+    def run_decode_multi(
+        self,
+        tokens: np.ndarray,        # [B] last sampled token per slot
+        page_tables: np.ndarray,   # [B, maxp]
+        positions: np.ndarray,     # [B] position of the token being written
+        context_lens: np.ndarray,  # [B] = positions + 1 for active slots
+        limits: np.ndarray,        # [B] max context_len each slot may reach
+        sparams: SamplingParams,
+        num_steps: int,
+        num_logprobs: int = 0,
+    ):
+        """Returns (tokens [K, B], logprobs [K, B], top_lp [K, B, L],
+        top_tok [K, B, L]); the host discards entries past each slot's limit."""
+        fn = self._get(
+            ("decode_multi", num_steps, num_logprobs),
+            lambda: self._decode_multi_fn(num_steps, num_logprobs),
+        )
+        tok, lp, toplp, toptok, self.cache, self.sampler_state = fn(
+            self.params,
+            jnp.asarray(tokens),
+            self.cache,
+            self.sampler_state,
+            jnp.asarray(page_tables),
+            jnp.asarray(positions),
+            jnp.asarray(context_lens),
+            jnp.asarray(limits),
+            sparams,
+            self.base_key,
+        )
+        return np.asarray(tok), np.asarray(lp), np.asarray(toplp), np.asarray(toptok)
 
     def run_decode(
         self,

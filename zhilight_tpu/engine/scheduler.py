@@ -300,71 +300,92 @@ class Scheduler:
     # ------------------------------------------------------------------
     # decode (reference fill_search_tokens + join_forward + sampling)
     # ------------------------------------------------------------------
+    def _task_limit(self, task: SearchTask) -> int:
+        """Max context_len a decode step may reach for this task: the step
+        that samples the final (max_length-th) output token runs at
+        context_len = prompt + max_length - 1."""
+        return min(
+            task.prompt_len + task.arg.max_length - 1,
+            self.ex.engine_cfg.max_model_len,
+        )
+
     def _decode_step(self):
         B = self.max_batch
         S = self.ex.page_size
+        K = self.ex.decode_window
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)
-        slot_map = np.full(B, -1, np.int32)
         page_tables = np.full((B, self.ex.max_pages_per_seq), -1, np.int32)
         context_lens = np.zeros(B, np.int32)
+        limits = np.zeros(B, np.int32)
         active: List[SearchTask] = []
 
         for b, task in enumerate(self.slots):
             if task is None or task.status != TaskStatus.DECODE:
                 continue
-            pos = task.total_len - 1  # position of the last generated token
-            if not self._alloc_pages_to(task, pos + 1):
-                continue  # skip this step for this task; retry next iteration
+            c0 = task.total_len  # context at the first window step
+            limit = self._task_limit(task)
+            # allocate pages to cover the whole window (partial => the slot
+            # freezes mid-window and resumes next window once pages free up)
+            self._alloc_pages_to(task, min(c0 + K - 1, limit))
+            cap = len(task.pages) * S
+            limit = min(limit, cap)
+            if limit < c0:
+                continue  # no page for even one step; retry next iteration
             tokens[b] = task.output_tokens[-1]
-            positions[b] = pos
-            slot_map[b] = task.pages[pos // S] * S + pos % S
+            positions[b] = c0 - 1
+            context_lens[b] = c0
+            limits[b] = limit
             page_tables[b, : len(task.pages)] = task.pages
-            context_lens[b] = pos + 1
             active.append(task)
 
         if not active:
             return
 
-        meta = DecodeMeta(
-            positions=jnp.asarray(positions),
-            slot_mapping=jnp.asarray(slot_map),
-            page_tables=jnp.asarray(page_tables),
-            context_lens=jnp.asarray(context_lens),
-        )
         num_lp = max((t.arg.top_logprobs for t in active), default=0)
-        tok, lp, toplp, toptok = self.ex.run_decode(
-            tokens, meta, self._sampling_params(), self.step_index, num_logprobs=num_lp
+        tok, lp, toplp, toptok = self.ex.run_decode_multi(
+            tokens, page_tables, positions, context_lens, limits,
+            self._sampling_params(), K, num_logprobs=num_lp,
         )
-        self.step_index += 1
+        self.step_index += K
 
         for task in active:
             b = task.slot
-            self._append_token(
+            n_valid = min(K, int(limits[b]) - int(context_lens[b]) + 1)
+            self._append_window(
                 task,
-                int(tok[b]),
-                float(lp[b]),
-                toplp[b] if num_lp else None,
-                toptok[b] if num_lp else None,
+                tok[:n_valid, b],
+                lp[:n_valid, b],
+                toplp[:n_valid, b] if num_lp else None,
+                toptok[:n_valid, b] if num_lp else None,
             )
 
     # ------------------------------------------------------------------
     # token accounting / stop conditions (reference :1500-1637)
     # ------------------------------------------------------------------
-    def _append_token(self, task: SearchTask, tok: int, lp: float, toplp, toptok):
-        is_eos = tok == self.cfg.eos_id and not self.cfg.ignore_eos
-        if not is_eos or self.cfg.keep_eos:
-            task.output_tokens.append(tok)
-            task.logprobs.append(lp)
-            task.cumulative_logprob += lp
-            if task.arg.top_logprobs and toplp is not None:
-                task.top_logprobs.append(
-                    {int(t): float(v) for t, v in zip(toptok, toplp)}
-                )
-            task.emit_stream([tok])
-        # the EOS token itself was written to cache via the next step's
-        # slot mapping only if we continue; no further writes needed here.
-        if is_eos or len(task.output_tokens) >= task.arg.max_length or task.cancelled:
+    def _append_window(self, task: SearchTask, toks, lps, toplps, toptoks):
+        """Apply one window of sampled tokens to a task; tokens after a stop
+        condition are discarded (the device kept decoding past it)."""
+        emitted: List[int] = []
+        finished = False
+        for j, (tok, lp) in enumerate(zip(toks, lps)):
+            tok = int(tok)
+            is_eos = tok == self.cfg.eos_id and not self.cfg.ignore_eos
+            if not is_eos or self.cfg.keep_eos:
+                task.output_tokens.append(tok)
+                task.logprobs.append(float(lp))
+                task.cumulative_logprob += float(lp)
+                if task.arg.top_logprobs and toplps is not None:
+                    task.top_logprobs.append(
+                        {int(t): float(v) for t, v in zip(toptoks[j], toplps[j])}
+                    )
+                emitted.append(tok)
+            if is_eos or len(task.output_tokens) >= task.arg.max_length or task.cancelled:
+                finished = True
+                break
+        if emitted:
+            task.emit_stream(emitted)
+        if finished:
             if task.cancelled:
                 task.status = TaskStatus.CANCELLED
             else:
@@ -372,3 +393,12 @@ class Scheduler:
             self._release(task)
             task.finish()
             self._wake.set()
+
+    def _append_token(self, task: SearchTask, tok: int, lp: float, toplp, toptok):
+        self._append_window(
+            task,
+            [tok],
+            [lp],
+            [toplp] if toplp is not None else None,
+            [toptok] if toptok is not None else None,
+        )

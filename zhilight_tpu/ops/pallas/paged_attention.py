@@ -147,29 +147,30 @@ def _kernel_bs(
     # scalar prefetch
     page_tables_ref,
     context_lens_ref,
-    # blocks
-    q_ref,  # [1, Hkv, G, D]
-    k_ref,  # [Hkv, 1, S, D]
-    v_ref,  # [Hkv, 1, S, D]
-    o_ref,  # [1, Hkv, G, D]
-    # scratch
-    m_ref,
-    l_ref,
-    acc_ref,
-    *,
+    # blocks: q, then FPB k-page blocks, then FPB v-page blocks
+    *refs,
     page_size: int,
-    pages_per_seq: int,
+    fetch_pages: int,
+    num_blocks: int,
     scale: float,
     sliding_window: int,
 ):
-    """BlockSpec-pipelined variant (one page per step). Used when head_dim is
-    not lane-aligned (D % 128 != 0): Mosaic cannot DMA slices of lane-padded
-    arrays, so the pipeline does the page fetches instead. Out-of-range steps
-    clamp to the previous page index, which skips the redundant fetch."""
+    """BlockSpec-pipelined variant. Used when head_dim is not lane-aligned
+    (D % 128 != 0): Mosaic cannot DMA slices of lane-padded arrays, so the
+    pipeline does the page fetches. ``fetch_pages`` pages are fetched per grid
+    step through independent BlockSpecs so the per-step compute amortizes the
+    pipeline's fixed cost (one-page steps were ~7x off HBM roofline).
+    Out-of-range positions clamp to the last valid page; the causal mask
+    removes their contribution."""
+    q_ref = refs[0]
+    k_refs = refs[1 : 1 + fetch_pages]
+    v_refs = refs[1 + fetch_pages : 1 + 2 * fetch_pages]
+    o_ref, m_ref, l_ref, acc_ref = refs[1 + 2 * fetch_pages :]
+
     b = pl.program_id(0)
     i = pl.program_id(1)
     ctx = context_lens_ref[b]
-    S = page_size
+    S, FPB = page_size, fetch_pages
 
     @pl.when(i == 0)
     def _init():
@@ -179,16 +180,16 @@ def _kernel_bs(
 
     num_valid_pages = pl.cdiv(ctx, S)
 
-    @pl.when(jnp.logical_and(i < num_valid_pages, ctx > 0))
+    @pl.when((i * FPB) < num_valid_pages)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[:, 0].astype(jnp.float32)
-        v = v_ref[:, 0].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
+        k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(jnp.float32)
+        v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1).astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
+        )  # [Hkv, G, FPB*S]
         s = s * scale
-        token_idx = i * S + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        token_idx = i * (FPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
         mask = token_idx < ctx
         if sliding_window > 0:
             mask = jnp.logical_and(mask, token_idx > ctx - 1 - sliding_window)
@@ -203,36 +204,40 @@ def _kernel_bs(
         )
         m_ref[...] = m_new
 
-    @pl.when(i == pages_per_seq - 1)
+    @pl.when(i == num_blocks - 1)
     def _finish():
         l = jnp.maximum(l_ref[...], 1e-20)
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
 def _paged_decode_blockspec(
-    q_g, k_pages, v_pages, safe_tables, context_lens, scale, sliding_window, interpret
+    q_g, k_pages, v_pages, safe_tables, context_lens, scale, sliding_window,
+    interpret, fetch_pages=8,
 ):
     B, Hkv, G, D = q_g.shape
     _, P, S, _ = k_pages.shape
     maxp = safe_tables.shape[1]
+    FPB = min(fetch_pages, maxp)
+    num_blocks = (maxp + FPB - 1) // FPB
 
     def q_index(b, i, *_):
         return (b, 0, 0, 0)
 
-    def kv_index(b, i, page_tables_ref, context_lens_ref):
-        ctx = context_lens_ref[b]
-        valid = pl.cdiv(ctx, S)
-        page = page_tables_ref[b, jnp.minimum(i, jnp.maximum(valid - 1, 0))]
-        return (0, page, 0, 0)
+    def kv_index_at(j):
+        def kv_index(b, i, page_tables_ref, context_lens_ref):
+            ctx = context_lens_ref[b]
+            valid = pl.cdiv(ctx, S)
+            pos = i * FPB + j
+            page = page_tables_ref[b, jnp.minimum(pos, jnp.maximum(valid - 1, 0))]
+            return (0, page, 0, 0)
 
+        return kv_index
+
+    kv_specs = [pl.BlockSpec((Hkv, 1, S, D), kv_index_at(j)) for j in range(FPB)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, maxp),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, G, D), q_index),
-            pl.BlockSpec((Hkv, 1, S, D), kv_index),
-            pl.BlockSpec((Hkv, 1, S, D), kv_index),
-        ],
+        grid=(B, num_blocks),
+        in_specs=[pl.BlockSpec((1, Hkv, G, D), q_index)] + kv_specs + kv_specs,
         out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
@@ -243,7 +248,8 @@ def _paged_decode_blockspec(
     kernel = functools.partial(
         _kernel_bs,
         page_size=S,
-        pages_per_seq=maxp,
+        fetch_pages=FPB,
+        num_blocks=num_blocks,
         scale=scale,
         sliding_window=sliding_window,
     )
@@ -255,7 +261,7 @@ def _paged_decode_blockspec(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(safe_tables, context_lens, q_g, k_pages, v_pages)
+    )(safe_tables, context_lens, q_g, *([k_pages] * FPB), *([v_pages] * FPB))
 
 
 def paged_decode_attention(
@@ -284,7 +290,7 @@ def paged_decode_attention(
         # BlockSpec-pipelined variant (bigger page_size recommended there)
         return _paged_decode_blockspec(
             q_g, k_pages, v_pages, safe_tables, context_lens, scale,
-            sliding_window, interpret,
+            sliding_window, interpret, fetch_pages=PPB,
         ).reshape(B, Hq, D)
 
     def q_index(b, i, *_):

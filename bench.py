@@ -1,17 +1,22 @@
-"""Benchmark: offline decode throughput on the real chip.
+"""Benchmark: serving decode throughput on the real chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload (round 1): Llama-2-7B-shaped dense model, bf16, random weights,
-continuous batched greedy decode — tokens/s/chip on the serving decode step.
-Baseline reference point: ZhiLight's Llama-family TPOT numbers (BASELINE.md);
-vs_baseline compares decode tokens/s against ZhiLight's MiniCPM-2B-class
-single-GPU TPOT-derived rate scaled for model size (placeholder until the
-full QPS/TTFT/TPOT load harness lands in a later round).
+Workload: MiniCPM-2B geometry (the reference's single-GPU baseline row:
+QPS 1.67 / TPOT mean 26.1 ms on 1xAD102, BASELINE.md), random weights, batch
+16 continuous decode at context 512 through the PRODUCTION path —
+``ModelExecutor.run_decode_multi`` (multi-step window, device-side sampling,
+donated KV cache, Pallas paged attention + Pallas KV writes).
+
+Baseline: ZhiLight's 26.1 ms TPOT at an equivalent 16-stream decode batch is
+16/0.0261 = 613 tokens/s/device.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax-comp-cache")
 
 import numpy as np
 
@@ -20,14 +25,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from zhilight_tpu.config import ModelConfig
-    from zhilight_tpu.kvcache import new_kv_cache
+    from zhilight_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from zhilight_tpu.engine.engine import ModelExecutor
     from zhilight_tpu.models import llama as L
-    from zhilight_tpu.models.base import DecodeMeta
+    from zhilight_tpu.ops.sampling import SamplingParams
 
-    # MiniCPM-2B geometry (reference single-GPU baseline row: QPS 1.67 /
-    # TPOT 26.1ms on 1xAD102, BASELINE.md) — random weights; decode perf
-    # depends only on shapes. Fits one v5e chip in bf16.
     cfg = ModelConfig(
         model_type="cpm_dragonfly",
         num_layers=40,
@@ -45,55 +52,48 @@ def main():
     )
     BATCH = 16
     PAGE = 16
-    CTX = 512  # context length during decode
-    MAX_PAGES = CTX // PAGE
-    STEPS = 32
+    CTX = 512
+    MAX_PAGES = 40  # max_model_len 640 (KV pool 7.5GB + 5.4GB params on 16GB v5e)
+    WINDOWS = 6
 
-    rope = L.build_rope(cfg)
-    params = L.init_params(cfg, jax.random.PRNGKey(0))
-    cache = new_kv_cache(
-        cfg.num_layers, BATCH * MAX_PAGES, PAGE, cfg.num_kv_heads, cfg.dim_head
+    ecfg = EngineConfig(
+        max_model_len=MAX_PAGES * PAGE,
+        cache=CacheConfig(page_size=PAGE, num_pages=BATCH * MAX_PAGES),
+        scheduler=SchedulerConfig(max_batch=BATCH),
     )
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    ex = ModelExecutor(cfg, params, ecfg)
+    K = ex.decode_window
 
-    pos = CTX - 1
     page_tables = np.stack(
         [b * MAX_PAGES + np.arange(MAX_PAGES) for b in range(BATCH)]
     ).astype(np.int32)
-    meta = DecodeMeta(
-        positions=jnp.full((BATCH,), pos, jnp.int32),
-        slot_mapping=jnp.asarray(
-            page_tables[:, pos // PAGE] * PAGE + pos % PAGE, jnp.int32
-        ),
-        page_tables=jnp.asarray(page_tables),
-        context_lens=jnp.full((BATCH,), CTX, jnp.int32),
-    )
-    tokens = jnp.zeros((BATCH,), jnp.int32)
-
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def step(params, tokens, cache, meta):
-        logits, cache = L.forward_decode(params, cfg, rope, tokens, meta, cache)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+    positions = np.full(BATCH, CTX - 1, np.int32)
+    context_lens = np.full(BATCH, CTX, np.int32)
+    limits = np.full(BATCH, MAX_PAGES * PAGE - 1, np.int32)
+    tokens = np.zeros(BATCH, np.int32)
+    sparams = SamplingParams.greedy(BATCH)
 
     # warmup/compile
-    tokens, cache = step(params, tokens, cache, meta)
-    tokens.block_until_ready()
+    tok, _, _, _ = ex.run_decode_multi(
+        tokens, page_tables, positions, context_lens, limits, sparams, K
+    )
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        tokens, cache = step(params, tokens, cache, meta)
-    tokens.block_until_ready()
+    ctx = CTX
+    for w in range(WINDOWS):
+        tok, _, _, _ = ex.run_decode_multi(
+            tok[-1], page_tables, positions + (w + 1) * K,
+            context_lens + (w + 1) * K, limits, sparams, K,
+        )
     dt = time.perf_counter() - t0
 
-    toks_per_s = BATCH * STEPS / dt
-    # ZhiLight MiniCPM-2B on 1xAD102: TPOT mean 26.1ms (BASELINE.md). At an
-    # equivalent 16-stream decode batch that is 16/0.0261 = 613 tok/s/device.
+    toks_per_s = BATCH * K * WINDOWS / dt
     baseline = 613.0
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_minicpm2b_bf16_b16",
+                "metric": "serving_decode_tokens_per_sec_minicpm2b_bf16_b16",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / baseline, 3),

@@ -1,4 +1,9 @@
-"""Pallas paged decode attention kernel vs the jnp reference (interpret mode)."""
+"""Pallas paged decode attention kernel vs the jnp reference (interpret mode).
+
+Covers both kernel variants: the manual double-buffered DMA kernel (default)
+and the BlockSpec-pipelined one (use_blockspec=True), over lane-aligned
+(D=128) and unaligned (D=64) head dims.
+"""
 
 import numpy as np
 import pytest
@@ -13,8 +18,9 @@ from zhilight_tpu.ops.pallas.paged_attention import paged_decode_attention
 def _setup(B=4, Hq=8, Hkv=2, D=128, P=32, S=16, maxp=6, dtype=jnp.float32, seed=0):
     rng = np.random.RandomState(seed)
     q = rng.randn(B, Hq, D).astype(np.float32)
-    k_pages = rng.randn(Hkv, P, S, D).astype(np.float32)
-    v_pages = rng.randn(Hkv, P, S, D).astype(np.float32)
+    # slot-major pools [P*S, Hkv, D]
+    k_pages = rng.randn(P * S, Hkv, D).astype(np.float32)
+    v_pages = rng.randn(P * S, Hkv, D).astype(np.float32)
     context_lens = rng.randint(1, maxp * S, size=B).astype(np.int32)
     page_tables = np.full((B, maxp), -1, np.int32)
     used = set()
@@ -36,38 +42,45 @@ def _setup(B=4, Hq=8, Hkv=2, D=128, P=32, S=16, maxp=6, dtype=jnp.float32, seed=
     )
 
 
+def _reference(q, k_pages, v_pages, page_tables, context_lens, S, scale, sliding_window):
+    safe = jnp.maximum(page_tables, 0)
+    B = q.shape[0]
+    slots = (safe[..., None] * S + jnp.arange(S)).reshape(B, -1)
+    k = k_pages[slots]  # [B, KV, Hkv, D]
+    v = v_pages[slots]
+    return decode_attention(q, k, v, context_lens, scale, sliding_window)
+
+
 @pytest.mark.parametrize("sliding_window", [0, 24])
 @pytest.mark.parametrize("ppb", [1, 2, 8])
-@pytest.mark.parametrize("D", [128, 64])  # 64 exercises the BlockSpec multi-fetch variant
-def test_paged_attention_matches_reference(sliding_window, ppb, D):
-    q, k_pages, v_pages, page_tables, context_lens = _setup(D=D)
+@pytest.mark.parametrize("D", [128, 64])
+@pytest.mark.parametrize("blockspec", [False, True])
+def test_paged_attention_matches_reference(sliding_window, ppb, D, blockspec):
+    S = 16
+    q, k_pages, v_pages, page_tables, context_lens = _setup(D=D, S=S)
     scale = 1.0 / np.sqrt(q.shape[-1])
 
     got = paged_decode_attention(
-        q, k_pages, v_pages, page_tables, context_lens, scale,
+        q, k_pages, v_pages, page_tables, context_lens, S, scale,
         sliding_window=sliding_window, pages_per_block=ppb, interpret=True,
+        use_blockspec=blockspec,
     )
-
-    # reference: gather pages then dense decode attention
-    S = k_pages.shape[2]
-    safe = jnp.maximum(page_tables, 0)
-    B, D = q.shape[0], q.shape[2]
-    k = jnp.moveaxis(k_pages[:, safe], 0, -2).reshape(B, -1, k_pages.shape[0], D)
-    v = jnp.moveaxis(v_pages[:, safe], 0, -2).reshape(B, -1, v_pages.shape[0], D)
-    want = decode_attention(q, k, v, context_lens, scale, sliding_window)
+    want = _reference(q, k_pages, v_pages, page_tables, context_lens, S, scale, sliding_window)
 
     # CPU XLA matmuls use a bf16 fast path (oneDNN), so both the kernel and the
     # reference sit ~5e-3 from fp64 truth; compare accordingly.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
 
 
-def test_paged_attention_empty_slot():
+@pytest.mark.parametrize("blockspec", [False, True])
+def test_paged_attention_empty_slot(blockspec):
     """Inactive slots (context_len == 0) must not produce NaNs."""
-    q, k_pages, v_pages, page_tables, context_lens = _setup(B=3)
+    S = 16
+    q, k_pages, v_pages, page_tables, context_lens = _setup(B=3, S=S)
     context_lens = context_lens.at[1].set(0)
     page_tables = page_tables.at[1].set(-1)
     out = paged_decode_attention(
-        q, k_pages, v_pages, page_tables, context_lens,
-        1.0 / np.sqrt(q.shape[-1]), interpret=True,
+        q, k_pages, v_pages, page_tables, context_lens, S,
+        1.0 / np.sqrt(q.shape[-1]), interpret=True, use_blockspec=blockspec,
     )
     assert not np.any(np.isnan(np.asarray(out)))

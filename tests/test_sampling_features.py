@@ -1,0 +1,135 @@
+"""logit_bias / ngram penalty / penalty maps through the engine.
+
+Parity targets: reference logit_bias application (batch_generator.cpp:1709-1730),
+ngram repetition penalty (beam_util.cu:318-376), both applied in the scheduler
+loop against the decode logits.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zhilight_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+from zhilight_tpu.engine import DynamicBatchGenerator, GeneratorArg
+from zhilight_tpu.engine.penalties import calc_repetition_ngram, ngram_penalty_map
+from zhilight_tpu.llm import LLM
+from zhilight_tpu.models import llama as L
+
+VOCAB = 64
+EOS = 1
+
+
+@pytest.fixture(scope="module")
+def llm():
+    cfg = ModelConfig(
+        model_type="llama",
+        num_layers=2,
+        dim_model=32,
+        num_heads=4,
+        dim_head=8,
+        num_kv_heads=2,
+        dim_ff=64,
+        vocab_size=VOCAB,
+        dtype="float32",
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=4, num_pages=64),
+        scheduler=SchedulerConfig(
+            max_batch=4, chunk_size=16, prefill_buckets=(8, 16, 32), eos_id=EOS,
+            decode_multi_step=4,
+        ),
+    )
+    return LLM(model_config=cfg, params=params, engine_config=ecfg)
+
+
+def test_calc_repetition_ngram_basic():
+    p = 1.5
+    m = calc_repetition_ngram([7, 8, 9], p)
+    # no repeats: every token penalized once (p^1)
+    assert set(m) == {7, 8, 9}
+    assert all(abs(v - p) < 1e-6 for v in m.values())
+
+    # a repeated bigram earns a higher exponent (reference assigns the boost
+    # to the position preceding the repeat: token 6 here gets p^3)
+    m2 = calc_repetition_ngram([5, 6, 5, 6, 2], p)
+    assert m2[6] > m2[2]
+    assert abs(m2[2] - p) < 1e-6
+    assert abs(m2[6] - p ** 3) < 1e-6
+
+
+def test_ngram_penalty_map_includes_repetition():
+    m = ngram_penalty_map([3, 3, 3], 1.2, 1.1)
+    base = calc_repetition_ngram([3, 3, 3], 1.2)[3]
+    assert abs(m[3] - base * 1.1) < 1e-6
+
+
+def test_logit_bias_forces_token(llm):
+    target = 42
+    with DynamicBatchGenerator(llm) as gen:
+        res = gen.generate(
+            [5, 9, 12],
+            GeneratorArg(max_length=4, logit_bias={target: 200.0}),
+        )
+    assert all(t == target for t in res.outputs[0].token_ids)
+
+
+def test_logit_bias_suppresses_token(llm):
+    with DynamicBatchGenerator(llm) as gen:
+        base = gen.generate([5, 9, 12], GeneratorArg(max_length=6))
+        banned = base.outputs[0].token_ids[0]
+        res = gen.generate(
+            [5, 9, 12],
+            GeneratorArg(max_length=6, logit_bias={banned: -1e9}),
+        )
+    assert banned not in res.outputs[0].token_ids
+
+
+def test_ngram_penalty_changes_output(llm):
+    prompt = [7, 8, 7, 8, 7, 8, 7, 8]
+    with DynamicBatchGenerator(llm) as gen:
+        plain = gen.generate(prompt, GeneratorArg(max_length=8)).outputs[0].token_ids
+        pen = gen.generate(
+            prompt, GeneratorArg(max_length=8, ngram_penalty=4.0)
+        ).outputs[0].token_ids
+    assert plain != pen
+
+
+def test_stop_token_ids(llm):
+    with DynamicBatchGenerator(llm) as gen:
+        base = gen.generate([5, 9, 12], GeneratorArg(max_length=8)).outputs[0]
+        assert len(base.token_ids) >= 3
+        stop_at = base.token_ids[2]
+        res = gen.generate(
+            [5, 9, 12], GeneratorArg(max_length=8, stop_token_ids=[stop_at])
+        ).outputs[0]
+    # stop token is included in the output, generation halts there
+    assert res.token_ids == base.token_ids[:3]
+    assert res.finish_reason == "stop"
+
+
+def test_finish_reason_length(llm):
+    with DynamicBatchGenerator(llm) as gen:
+        res = gen.generate([5, 9, 12], GeneratorArg(max_length=3)).outputs[0]
+    assert res.finish_reason == "length"
+    assert len(res.token_ids) == 3
+
+
+def test_stop_string_checker():
+    from zhilight_tpu.engine.detokenizer import StopStringChecker, truncate_at_stop
+
+    c = StopStringChecker(["END"])
+    out, hit = c.put("hello E")
+    assert not hit and out == "hello"  # " E" held back (possible prefix)
+    out, hit = c.put("ND world")
+    assert hit and out == " "  # text before the stop is released; rest dropped
+
+    c2 = StopStringChecker(["END"], include=True)
+    out, hit = c2.put("abcEND!")
+    assert hit and out == "abcEND"
+
+    assert truncate_at_stop("foo STOP bar", ["STOP"]) == ("foo ", True)
+    assert truncate_at_stop("foo bar", ["STOP"]) == ("foo bar", False)

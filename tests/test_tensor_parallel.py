@@ -93,7 +93,7 @@ def test_tp_matches_single_device(moe):
     mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
     sharded = shard_params(params, mesh)
     cache2 = new_kv_cache(cfg.num_layers, 32, PAGE, cfg.num_kv_heads, cfg.dim_head, jnp.float32)
-    kv_spec = NamedSharding(mesh, P(TP_AXIS, None, None, None))
+    kv_spec = NamedSharding(mesh, P(None, TP_AXIS, None))
     cache2 = jax.tree.map(lambda x: jax.device_put(x, kv_spec), cache2)
 
     tp_logits, tp_dlogits = run_forward(cfg, sharded, cache2, tokens, mesh=mesh)

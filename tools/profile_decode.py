@@ -4,6 +4,7 @@ Writes a chrome trace via jax.profiler and summarizes op durations.
 """
 
 import glob
+import re
 import gzip
 import json
 import os
@@ -45,21 +46,25 @@ meta = DecodeMeta(
 tokens = jnp.zeros((BATCH,), jnp.int32)
 
 
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
 def full_step(params, tokens, cache, meta):
-    logits, cache2 = L.forward_decode(params, cfg, rope, tokens, meta, cache)
-    return jnp.argmax(logits, -1)
+    logits, cache = L.forward_decode(params, cfg, rope, tokens, meta, cache)
+    return jnp.argmax(logits, -1).astype(jnp.int32), cache
 
 
-f = jax.jit(full_step)
-r = f(params, tokens, cache, meta)
-jax.block_until_ready(r)
+f = full_step
+tokens, cache = f(params, tokens, cache, meta)
+jax.block_until_ready(tokens)
 
 trace_dir = "/tmp/jax-trace"
 os.system(f"rm -rf {trace_dir}")
 with jax.profiler.trace(trace_dir):
     for _ in range(3):
-        r = f(params, tokens, cache, meta)
-    jax.block_until_ready(r)
+        tokens, cache = f(params, tokens, cache, meta)
+    jax.block_until_ready(tokens)
 
 # summarize chrome trace events
 files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
@@ -81,6 +86,7 @@ for ev in trace["traceEvents"]:
     if "TPU" not in pname and "tpu" not in pname:
         continue
     name = ev.get("name", "")
+    name = re.sub(r"[.\d]+$", "", name)  # aggregate fusion.123 -> fusion
     durs[name] += ev.get("dur", 0)
     cnt[name] += 1
 

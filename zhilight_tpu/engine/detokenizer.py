@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-__all__ = ["IncrementalDetokenizer"]
+__all__ = ["IncrementalDetokenizer", "StopStringChecker", "truncate_at_stop"]
 
 
 class IncrementalDetokenizer:
@@ -53,3 +53,71 @@ class IncrementalDetokenizer:
         ) if self.read_offset > self.prefix_offset else ""
         self.prefix_offset = self.read_offset = len(self.tokens)
         return full_text[len(prefix_text) :]
+
+
+class StopStringChecker:
+    """Streaming stop-string detection with partial-match holdback.
+
+    Parity: reference SamplingParams.stop semantics (stop strings are not
+    included in the output unless include_stop_str_in_output,
+    server/openai/basic/sampling_params.py:72-78). Feed decoded text chunks;
+    text that could still be a prefix of a stop string is held back until
+    disambiguated.
+    """
+
+    def __init__(self, stops, include: bool = False):
+        self.stops = [s for s in (stops or []) if s]
+        self.include = include
+        self.hold = max((len(s) for s in self.stops), default=0) - 1
+        self.buf = ""
+        self.stopped = False
+
+    @property
+    def active(self) -> bool:
+        return bool(self.stops)
+
+    def put(self, text: str) -> Tuple[str, bool]:
+        """Returns (releasable_text, stopped)."""
+        if not self.stops or self.stopped:
+            return (text if not self.stopped else ""), self.stopped
+        self.buf += text
+        best = -1
+        best_end = 0
+        for s in self.stops:
+            i = self.buf.find(s)
+            if i >= 0 and (best < 0 or i < best):
+                best = i
+                best_end = i + len(s)
+        if best >= 0:
+            self.stopped = True
+            out = self.buf[: best_end if self.include else best]
+            self.buf = ""
+            return out, True
+        if self.hold > 0 and len(self.buf) > self.hold:
+            out = self.buf[: -self.hold]
+            self.buf = self.buf[-self.hold :]
+            return out, False
+        if self.hold == 0:
+            out, self.buf = self.buf, ""
+            return out, False
+        return "", False
+
+    def finish(self) -> str:
+        out, self.buf = self.buf, ""
+        return out
+
+
+def truncate_at_stop(text: str, stops, include: bool = False) -> Tuple[str, bool]:
+    """Non-streaming variant: truncate ``text`` at the earliest stop string."""
+    best = -1
+    best_end = 0
+    for s in stops or ():
+        if not s:
+            continue
+        i = text.find(s)
+        if i >= 0 and (best < 0 or i < best):
+            best = i
+            best_end = i + len(s)
+    if best < 0:
+        return text, False
+    return text[: best_end if include else best], True

@@ -91,6 +91,25 @@ class ModelExecutor:
         ms = self.sched_cfg.decode_multi_step
         self.decode_window = ms if ms > 0 else (8 if jax.default_backend() == "tpu" else 1)
 
+        # Pinned output formats for the donated state: XLA otherwise picks a
+        # slots-minor layout for the step outputs, and every subsequent step
+        # pays full-cache layout-conversion copies reconciling the entry
+        # arrays with the Pallas kernels' default-layout operands.
+        self._rep = NamedSharding(self.mesh, P())
+        if jax.default_backend() == "tpu":
+            from jax.experimental import layout as XL
+
+            def fmt(x):
+                return XL.Format(
+                    XL.Layout(major_to_minor=tuple(range(x.ndim))), x.sharding
+                )
+
+            self._cache_fmt = jax.tree.map(fmt, self.cache)
+            self._state_fmt = jax.tree.map(fmt, self.sampler_state)
+        else:
+            self._cache_fmt = jax.tree.map(lambda x: x.sharding, self.cache)
+            self._state_fmt = jax.tree.map(lambda x: x.sharding, self.sampler_state)
+
         self._compiled: Dict[Any, Callable] = {}
 
     # ------------------------------------------------------------------
@@ -139,32 +158,23 @@ class ModelExecutor:
         cfg = self.cfg
         with self.mesh:
             if cfg.mla.enabled:
-                cache = new_latent_cache(
+                return new_latent_cache(
                     cfg.num_layers, self.num_pages, self.page_size, cfg.mla.latent_dim,
                     cfg.jax_dtype,
+                    sharding=NamedSharding(self.mesh, P()),
                 )
-                spec = P()
-            else:
-                cache = new_kv_cache(
-                    cfg.num_layers,
-                    self.num_pages,
-                    self.page_size,
-                    cfg.num_kv_heads,
-                    cfg.dim_head,
-                    cfg.jax_dtype,
-                    quantized=self.cache_cfg.kv_dtype == "int8",
-                )
-                spec = None  # per-leaf below
-        if cfg.mla.enabled:
-            sharding = NamedSharding(self.mesh, P())
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), cache)
-        kv_spec = NamedSharding(self.mesh, P(TP_AXIS, None, None, None))
-        sc_spec = NamedSharding(self.mesh, P(TP_AXIS, None, None))
-        def place(x):
-            if x.ndim == 4:
-                return jax.device_put(x, kv_spec)
-            return jax.device_put(x, sc_spec)
-        return jax.tree.map(place, cache)
+            # slot-major layout [N_slots, H, D]: KV heads sharded over tp
+            return new_kv_cache(
+                cfg.num_layers,
+                self.num_pages,
+                self.page_size,
+                cfg.num_kv_heads,
+                cfg.dim_head,
+                cfg.jax_dtype,
+                quantized=self.cache_cfg.kv_dtype == "int8",
+                kv_sharding=NamedSharding(self.mesh, P(None, TP_AXIS, None)),
+                scale_sharding=NamedSharding(self.mesh, P(None, TP_AXIS)),
+            )
 
     def _new_sampler_state(self) -> SamplerState:
         state = new_sampler_state(self.max_batch, self.cfg.vocab_size)
@@ -184,7 +194,9 @@ class ModelExecutor:
     def _chunk_step_fn(self, bucket: int):
         cfg, rope = self.cfg, self.rope
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
+        @functools.partial(
+            jax.jit, donate_argnums=(2,), out_shardings=self._cache_fmt
+        )
         def chunk_step(params, tokens, cache, meta):
             _, cache = llama_mod.backbone(
                 params, cfg, rope, tokens, meta.positions, cache, meta, "prefill"
@@ -193,11 +205,18 @@ class ModelExecutor:
 
         return chunk_step
 
-    def _prefill_step_fn(self, bucket: int):
+    def _prefill_step_fn(self, bucket: int, num_logprobs: int, nb: int, np_: int):
         cfg, rope = self.cfg, self.rope
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3), static_argnums=(8,))
-        def prefill_step(params, tokens, cache, sampler_state, meta, sparams, slot, key, num_logprobs):
+        rep = self._rep
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(2, 3),
+            out_shardings=(rep, rep, rep, rep, self._cache_fmt, self._state_fmt),
+        )
+        def prefill_step(params, tokens, cache, sampler_state, meta, sparams, slot, key,
+                         bias_tok, bias_val, pen_tok, pen_val):
             logits, cache = llama_mod.forward_prefill(params, cfg, rope, tokens, meta, cache)
             # sample the first token for this slot only
             row = logits[None].astype(jnp.float32)  # [1, V]
@@ -206,7 +225,14 @@ class ModelExecutor:
                 token_counts=sampler_state.token_counts[slot][None],
                 step=sampler_state.step[slot][None],
             )
-            tok, lp, toplp, toptok, st2 = sample_step(row, st, sl, key, num_logprobs=num_logprobs)
+            tok, lp, toplp, toptok, st2 = sample_step(
+                row, st, sl, key,
+                logit_bias_tokens=bias_tok if nb else None,
+                logit_bias_values=bias_val if nb else None,
+                penalty_tokens=pen_tok if np_ else None,
+                penalty_values=pen_val if np_ else None,
+                num_logprobs=num_logprobs,
+            )
             new_state = SamplerState(
                 token_counts=sampler_state.token_counts.at[slot].set(st2.token_counts[0]),
                 step=sampler_state.step.at[slot].set(st2.step[0]),
@@ -218,7 +244,14 @@ class ModelExecutor:
     def _decode_step_fn(self):
         cfg, rope = self.cfg, self.rope
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3), static_argnums=(7,))
+        rep = self._rep
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(2, 3),
+            static_argnums=(7,),
+            out_shardings=(rep, rep, rep, rep, self._cache_fmt, self._state_fmt),
+        )
         def decode_step(params, tokens, cache, sampler_state, meta, sparams, key, num_logprobs):
             logits, cache = llama_mod.forward_decode(params, cfg, rope, tokens, meta, cache)
             tok, lp, toplp, toptok, new_state = sample_step(
@@ -228,7 +261,7 @@ class ModelExecutor:
 
         return decode_step
 
-    def _decode_multi_fn(self, num_steps: int, num_logprobs: int):
+    def _decode_multi_fn(self, num_steps: int, num_logprobs: int, nb: int = 0, np_: int = 0):
         """K decode steps in one program via lax.scan: sampled tokens feed the
         next step on device, positions/context_lens/slot mappings advance on
         device, and per-slot ``limits`` freeze slots that hit their token
@@ -238,8 +271,15 @@ class ModelExecutor:
         cfg, rope = self.cfg, self.rope
         S = self.page_size
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
-        def decode_multi(params, tokens, cache, sampler_state, page_tables, positions, context_lens, limits, sparams, key):
+        rep = self._rep
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(2, 3),
+            out_shardings=(rep, rep, rep, rep, self._cache_fmt, self._state_fmt),
+        )
+        def decode_multi(params, tokens, cache, sampler_state, page_tables, positions, context_lens, limits, sparams, key,
+                         bias_tok, bias_val, pen_tok, pen_val):
             def body(carry, _):
                 tokens, cache, state, positions, context_lens = carry
                 valid = (context_lens > 0) & (context_lens <= limits)
@@ -255,7 +295,12 @@ class ModelExecutor:
                 )
                 logits, cache = llama_mod.forward_decode(params, cfg, rope, tokens, meta, cache)
                 tok, lp, toplp, toptok, state2 = sample_step(
-                    logits.astype(jnp.float32), state, sparams, key, num_logprobs=num_logprobs
+                    logits.astype(jnp.float32), state, sparams, key,
+                    logit_bias_tokens=bias_tok if nb else None,
+                    logit_bias_values=bias_val if nb else None,
+                    penalty_tokens=pen_tok if np_ else None,
+                    penalty_values=pen_val if np_ else None,
+                    num_logprobs=num_logprobs,
                 )
                 # frozen slots keep their sampler state (penalty counts must
                 # not absorb the garbage tokens they emit)
@@ -276,7 +321,7 @@ class ModelExecutor:
         return decode_multi
 
     def _record_fn(self, bucket: int):
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=self._state_fmt)
         def record(state, slot, tokens):
             return record_tokens(state, slot, tokens)
 
@@ -303,6 +348,13 @@ class ModelExecutor:
         fn = self._get(("chunk", bucket), lambda: self._chunk_step_fn(bucket))
         self.cache = fn(self.params, jnp.asarray(tokens), self.cache, meta)
 
+    @staticmethod
+    def _pair(arr_tok, arr_val, rows: int):
+        """Normalize optional (tokens, values) host arrays to device arrays."""
+        if arr_tok is None:
+            return jnp.zeros((rows, 0), jnp.int32), jnp.zeros((rows, 0), jnp.float32), 0
+        return jnp.asarray(arr_tok), jnp.asarray(arr_val), int(arr_tok.shape[1])
+
     def run_prefill(
         self,
         tokens: np.ndarray,
@@ -311,9 +363,16 @@ class ModelExecutor:
         slot: int,
         step_index: int,
         num_logprobs: int = 0,
+        bias: Optional[Tuple[np.ndarray, np.ndarray]] = None,      # ([1,NB] tok, [1,NB] val)
+        penalties: Optional[Tuple[np.ndarray, np.ndarray]] = None,  # ([1,NP] tok, [1,NP] val)
     ):
         bucket = tokens.shape[0]
-        fn = self._get(("prefill", bucket, num_logprobs), lambda: self._prefill_step_fn(bucket))
+        bias_tok, bias_val, nb = self._pair(*(bias or (None, None)), rows=1)
+        pen_tok, pen_val, np_ = self._pair(*(penalties or (None, None)), rows=1)
+        fn = self._get(
+            ("prefill", bucket, num_logprobs, nb, np_),
+            lambda: self._prefill_step_fn(bucket, num_logprobs, nb, np_),
+        )
         key = self.base_key  # per-slot determinism comes from (seed, step) fold-in
         tok, lp, toplp, toptok, self.cache, self.sampler_state = fn(
             self.params,
@@ -324,7 +383,10 @@ class ModelExecutor:
             sparams,
             jnp.int32(slot),
             key,
-            num_logprobs,
+            bias_tok,
+            bias_val,
+            pen_tok,
+            pen_val,
         )
         return int(tok), float(lp), np.asarray(toplp), np.asarray(toptok)
 
@@ -338,12 +400,17 @@ class ModelExecutor:
         sparams: SamplingParams,
         num_steps: int,
         num_logprobs: int = 0,
+        bias: Optional[Tuple[np.ndarray, np.ndarray]] = None,      # ([B,NB] tok, [B,NB] val)
+        penalties: Optional[Tuple[np.ndarray, np.ndarray]] = None,  # ([B,NP] tok, [B,NP] val)
     ):
         """Returns (tokens [K, B], logprobs [K, B], top_lp [K, B, L],
         top_tok [K, B, L]); the host discards entries past each slot's limit."""
+        B = tokens.shape[0]
+        bias_tok, bias_val, nb = self._pair(*(bias or (None, None)), rows=B)
+        pen_tok, pen_val, np_ = self._pair(*(penalties or (None, None)), rows=B)
         fn = self._get(
-            ("decode_multi", num_steps, num_logprobs),
-            lambda: self._decode_multi_fn(num_steps, num_logprobs),
+            ("decode_multi", num_steps, num_logprobs, nb, np_),
+            lambda: self._decode_multi_fn(num_steps, num_logprobs, nb, np_),
         )
         tok, lp, toplp, toptok, self.cache, self.sampler_state = fn(
             self.params,
@@ -356,6 +423,10 @@ class ModelExecutor:
             jnp.asarray(limits),
             sparams,
             self.base_key,
+            bias_tok,
+            bias_val,
+            pen_tok,
+            pen_val,
         )
         return np.asarray(tok), np.asarray(lp), np.asarray(toplp), np.asarray(toptok)
 

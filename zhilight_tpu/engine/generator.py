@@ -17,7 +17,7 @@ from typing import Any, Generator, Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 
-from .detokenizer import IncrementalDetokenizer
+from .detokenizer import IncrementalDetokenizer, StopStringChecker, truncate_at_stop
 from .scheduler import Scheduler
 from .task import (
     GeneratorArg,
@@ -92,7 +92,18 @@ class DynamicBatchGenerator:
         out: GenerativeOutput = payload
         if self.tokenizer is not None:
             out.decode(self.tokenizer)
+            self._apply_stop_strings(out, arg)
         return RequestResult(prompt=prompt, outputs=[out], input_tokens_num=len(tokens))
+
+    @staticmethod
+    def _apply_stop_strings(out: GenerativeOutput, arg: GeneratorArg):
+        if arg.stop_strings and out.text:
+            text, hit = truncate_at_stop(
+                out.text, arg.stop_strings, arg.include_stop_str_in_output
+            )
+            if hit:
+                out.text = text
+                out.finish_reason = "stop"
 
     def _wait_final(self, task: SearchTask, timeout: Optional[float]):
         deadline = time.monotonic() + timeout if timeout else None
@@ -136,6 +147,7 @@ class DynamicBatchGenerator:
                 raise payload
             if self.tokenizer is not None:
                 payload.decode(self.tokenizer)
+                self._apply_stop_strings(payload, t.arg)
             results.append(RequestResult(prompt=p, outputs=[payload], input_tokens_num=t.prompt_len))
         return results
 

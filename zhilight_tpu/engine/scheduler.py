@@ -29,6 +29,7 @@ from ..kvcache.allocator import PageAllocator
 from ..models.base import DecodeMeta, PrefillMeta
 from ..ops.sampling import SamplingParams
 from .engine import ModelExecutor
+from .penalties import ngram_penalty_map
 from .task import SearchTask, TaskStatus
 
 logger = logging.getLogger(__name__)
@@ -196,7 +197,11 @@ class Scheduler:
         sp["temperature"][slot] = a.sampling_temperature
         sp["top_p"][slot] = a.top_p
         sp["top_k"][slot] = a.top_k
-        sp["repetition_penalty"][slot] = a.repetition_penalty
+        # ngram tasks get the combined host-side penalty map (which already
+        # multiplies in repetition_penalty); disable the count-based path
+        sp["repetition_penalty"][slot] = (
+            1.0 if a.ngram_penalty > 1.0 else a.repetition_penalty
+        )
         sp["presence_penalty"][slot] = a.presence_penalty
         sp["frequency_penalty"][slot] = a.frequency_penalty
         sp["seed"][slot] = a.seed or task.task_id
@@ -212,6 +217,56 @@ class Scheduler:
             )
             self._sp_dirty = False
         return self._sp_device
+
+    # ------------------------------------------------------------------
+    # host-computed logit maps (reference logit_bias :1709-1730 and ngram
+    # penalty :1639-1708 / beam_util.cu)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _round_width(n: int) -> int:
+        w = 8
+        while w < n:
+            w *= 2
+        return w
+
+    def _bias_arrays(self) -> Optional[tuple]:
+        """Batched [B, NB] (tokens, values) arrays from per-task logit_bias."""
+        entries = {
+            t.slot: t.arg.logit_bias
+            for t in self.slots
+            if t is not None and t.arg.logit_bias
+        }
+        if not entries:
+            return None
+        nb = self._round_width(max(len(v) for v in entries.values()))
+        tok = np.full((self.max_batch, nb), -1, np.int32)
+        val = np.zeros((self.max_batch, nb), np.float32)
+        for slot, bias in entries.items():
+            items = list(bias.items())[:nb]
+            tok[slot, : len(items)] = [int(t) for t, _ in items]
+            val[slot, : len(items)] = [float(v) for _, v in items]
+        return tok, val
+
+    def _penalty_arrays(self, tasks: List[SearchTask]) -> Optional[tuple]:
+        """Batched [B, NP] multiplicative penalty maps for ngram tasks."""
+        maps = {}
+        for t in tasks:
+            if t.arg.ngram_penalty > 1.0:
+                maps[t.slot] = ngram_penalty_map(
+                    t.input_tokens + t.output_tokens,
+                    t.arg.ngram_penalty,
+                    t.arg.repetition_penalty,
+                )
+        if not maps:
+            return None
+        np_ = self._round_width(max(len(m) for m in maps.values()))
+        tok = np.full((self.max_batch, np_), -1, np.int32)
+        val = np.ones((self.max_batch, np_), np.float32)
+        for slot, m in maps.items():
+            items = list(m.items())[:np_]
+            tok[slot, : len(items)] = [int(t) for t, _ in items]
+            val[slot, : len(items)] = [float(v) for _, v in items]
+        return tok, val
 
     # ------------------------------------------------------------------
     # prefill (reference fill_encode_input + chunking, :1048-1212)
@@ -281,6 +336,28 @@ class Scheduler:
             self.step_index += 1
             return True
 
+        bias = None
+        if task.arg.logit_bias:
+            items = list(task.arg.logit_bias.items())
+            nb = self._round_width(len(items))
+            btok = np.full((1, nb), -1, np.int32)
+            bval = np.zeros((1, nb), np.float32)
+            btok[0, : len(items)] = [int(t) for t, _ in items]
+            bval[0, : len(items)] = [float(v) for _, v in items]
+            bias = (btok, bval)
+        pen = None
+        if task.arg.ngram_penalty > 1.0:
+            m = ngram_penalty_map(
+                task.input_tokens, task.arg.ngram_penalty, task.arg.repetition_penalty
+            )
+            np_w = self._round_width(max(len(m), 1))
+            ptok = np.full((1, np_w), -1, np.int32)
+            pval = np.ones((1, np_w), np.float32)
+            items = list(m.items())[:np_w]
+            ptok[0, : len(items)] = [int(t) for t, _ in items]
+            pval[0, : len(items)] = [float(v) for _, v in items]
+            pen = (ptok, pval)
+
         tok, lp, toplp, toptok = self.ex.run_prefill(
             tokens,
             meta,
@@ -288,6 +365,8 @@ class Scheduler:
             task.slot,
             self.step_index,
             num_logprobs=task.arg.top_logprobs,
+            bias=bias,
+            penalties=pen,
         )
         self.step_index += 1
         task.cache_len = task.prompt_len
@@ -313,6 +392,14 @@ class Scheduler:
         B = self.max_batch
         S = self.ex.page_size
         K = self.ex.decode_window
+        # ngram penalties depend on the evolving sequence, so they are
+        # recomputed on host every token: force single-step windows
+        # (mirrors the reference applying them in the scheduler loop)
+        if any(
+            t is not None and t.status == TaskStatus.DECODE and t.arg.ngram_penalty > 1.0
+            for t in self.slots
+        ):
+            K = 1
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)
         page_tables = np.full((B, self.ex.max_pages_per_seq), -1, np.int32)
@@ -346,6 +433,7 @@ class Scheduler:
         tok, lp, toplp, toptok = self.ex.run_decode_multi(
             tokens, page_tables, positions, context_lens, limits,
             self._sampling_params(), K, num_logprobs=num_lp,
+            bias=self._bias_arrays(), penalties=self._penalty_arrays(active),
         )
         self.step_index += K
 
@@ -368,10 +456,14 @@ class Scheduler:
         condition are discarded (the device kept decoding past it)."""
         emitted: List[int] = []
         finished = False
+        stop_ids = task.arg.stop_token_ids or ()
         for j, (tok, lp) in enumerate(zip(toks, lps)):
             tok = int(tok)
             is_eos = tok == self.cfg.eos_id and not self.cfg.ignore_eos
-            if not is_eos or self.cfg.keep_eos:
+            is_stop = tok in stop_ids
+            # stop tokens are included in the output (reference
+            # sampling_params.py:74-76 semantics); EOS is not (unless keep_eos)
+            if (not is_eos or self.cfg.keep_eos) or (is_stop and not is_eos):
                 task.output_tokens.append(tok)
                 task.logprobs.append(float(lp))
                 task.cumulative_logprob += float(lp)
@@ -380,7 +472,14 @@ class Scheduler:
                         {int(t): float(v) for t, v in zip(toptoks[j], toplps[j])}
                     )
                 emitted.append(tok)
-            if is_eos or len(task.output_tokens) >= task.arg.max_length or task.cancelled:
+            if is_eos or is_stop or len(task.output_tokens) >= task.arg.max_length or task.cancelled:
+                if not task.finish_reason:  # may be pre-set (e.g. stop-string hit)
+                    if task.cancelled:
+                        task.finish_reason = "abort"
+                    elif is_eos or is_stop:
+                        task.finish_reason = "stop"
+                    else:
+                        task.finish_reason = "length"
                 finished = True
                 break
         if emitted:

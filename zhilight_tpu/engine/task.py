@@ -52,6 +52,11 @@ class GeneratorArg:
     frequency_penalty: float = 0.0
     top_logprobs: int = 0
     logit_bias: Optional[Dict[int, float]] = None
+    # stop conditions (reference SamplingParams.stop / stop_token_ids,
+    # server/openai/basic/sampling_params.py:72-78)
+    stop_token_ids: Optional[List[int]] = None
+    stop_strings: Optional[List[str]] = None
+    include_stop_str_in_output: bool = False
     max_input_length: int = sys.maxsize
     # session support (reference set_session_info)
     session_id: Optional[str] = None
@@ -130,6 +135,7 @@ class SearchTask:
         self.pages: List[int] = []
         self.cache_len: int = 0  # tokens already in KV cache
         self.prefix_hit_len: int = 0
+        self.finish_reason: str = ""  # "stop" | "length" | "abort"
 
     # -- lifecycle --------------------------------------------------------
     @property
@@ -173,6 +179,7 @@ class SearchTask:
             time_elapsed=elapsed,
             first_token_delay=first_delay,
             top_logprobs=list(self.top_logprobs) or None,
+            finish_reason=self.finish_reason or "length",
         )
 
 
@@ -186,6 +193,7 @@ class GenerativeOutput:
     first_token_delay: float = 0.0
     top_logprobs: Optional[List[Dict[int, float]]] = None
     text: str = ""
+    finish_reason: str = "length"
 
     def decode(self, tokenizer, prefix_input: Optional[str] = None):
         self.text = tokenizer.decode(self.token_ids)

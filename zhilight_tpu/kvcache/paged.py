@@ -9,12 +9,20 @@ one program regardless of per-task context lengths; page indirection replaces
 resize/defragmentation, and buffer donation of the cache pytree across steps
 replaces the reference's in-place CUDA writes.
 
-Layout: per-layer arrays ``[kv_heads, num_pages, page_size, head_dim]``
-(head-major so the Pallas decode kernel DMAs one head's page as a contiguous
-``[page_size, head_dim]`` tile), held in tuples (one leaf per layer, so a
-layer update touches only its own buffer), sharded ``P("tp", None, None, None)``.
-MLA latent cache: per-layer ``[num_pages, page_size, latent_dim]`` (the latent
-is a single shared "head" — reference LATENT_CACHE, batch_generator.cpp:594-596).
+Layout: per-layer arrays ``[num_slots, kv_heads, head_dim]`` with
+``num_slots = num_pages * page_size`` (slot-major). Chosen so that
+
+  * the per-token write is a plain dim-0 row scatter — XLA keeps the donated
+    buffer in the default layout, so no layout-conversion copies appear
+    between the scatter and the Pallas kernel's custom-call operands
+    (head-major storage cost a full cache copy per layer per step);
+  * one page is one contiguous ``[page_size, H, D]`` chunk, so the decode
+    kernel's HBM->VMEM DMA per page is a single untiled-dim slice (legal for
+    any head_dim, lane-aligned or not).
+
+Sharded ``P(None, "tp", None)`` (KV heads over TP). MLA latent cache:
+per-layer ``[num_slots, latent_dim]`` (the latent is a single shared "head" —
+reference LATENT_CACHE, batch_generator.cpp:594-596).
 """
 
 from __future__ import annotations
@@ -44,23 +52,24 @@ class KVCache:
     """Pytree holding the paged pool.
 
     ``k``/``v`` for standard attention; ``latent`` for MLA compressed cache
-    (exactly one of the two groups is populated). Optional per-(head, token)
+    (exactly one of the two groups is populated). Optional per-(token, head)
     scales when the cache is int8-quantized (reference KVCacheConfig.scale_dtype
-    path, transformer_buffer.h:14-16).
+    path, transformer_buffer.h:14-16). ``page_size`` is static metadata.
     """
 
-    k: Optional[Arrays] = None          # per layer [H, P, S, D]
+    k: Optional[Arrays] = None          # per layer [N_slots, H, D]
     v: Optional[Arrays] = None
-    latent: Optional[Arrays] = None     # per layer [P, S, latent]
-    k_scale: Optional[Arrays] = None    # per layer [H, P, S]
+    latent: Optional[Arrays] = None     # per layer [N_slots, latent]
+    k_scale: Optional[Arrays] = None    # per layer [N_slots, H]
     v_scale: Optional[Arrays] = None
+    page_size: int = 16
 
     def tree_flatten(self):
-        return (self.k, self.v, self.latent, self.k_scale, self.v_scale), None
+        return (self.k, self.v, self.latent, self.k_scale, self.v_scale), self.page_size
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, page_size=aux)
 
     @property
     def _ref(self) -> jax.Array:
@@ -71,12 +80,12 @@ class KVCache:
         return self.latent is not None
 
     @property
-    def num_pages(self) -> int:
-        return self._ref.shape[0] if self.is_latent else self._ref.shape[1]
+    def num_slots(self) -> int:
+        return self._ref.shape[0]
 
     @property
-    def page_size(self) -> int:
-        return self._ref.shape[1] if self.is_latent else self._ref.shape[2]
+    def num_pages(self) -> int:
+        return self.num_slots // self.page_size
 
     @property
     def num_layers(self) -> int:
@@ -95,6 +104,31 @@ class KVCache:
         return replace(self, **updates)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _zeros_builder(shape, dtype, fmt):
+    return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=fmt)
+
+
+def alloc_zeros(shape, dtype, sharding=None) -> jax.Array:
+    """Allocate zeros with an explicitly DEFAULT (row-major) layout.
+
+    ``jnp.zeros`` alone lets XLA pick the output layout — on TPU it picks a
+    slots-minor layout for 3-D pools, and every later donated step then pays
+    two full-array layout-conversion copies per layer reconciling it with the
+    Pallas kernels' default-layout operands."""
+    if jax.default_backend() not in ("tpu",):
+        out = jnp.zeros(shape, dtype)
+        return jax.device_put(out, sharding) if sharding is not None else out
+    from jax.experimental import layout as XL
+
+    sh = sharding or jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    fmt = XL.Format(XL.Layout(major_to_minor=tuple(range(len(shape)))), sh)
+    return _zeros_builder(tuple(shape), jnp.dtype(dtype).name, fmt)()
+
+
 def new_kv_cache(
     num_layers: int,
     num_pages: int,
@@ -103,34 +137,62 @@ def new_kv_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
     quantized: bool = False,
+    kv_sharding=None,
+    scale_sharding=None,
 ) -> KVCache:
-    shape = (num_kv_heads, num_pages, page_size, head_dim)
+    shape = (num_pages * page_size, num_kv_heads, head_dim)
     store_dtype = jnp.int8 if quantized else dtype
-    mk = lambda: tuple(jnp.zeros(shape, dtype=store_dtype) for _ in range(num_layers))
+    mk = lambda: tuple(alloc_zeros(shape, store_dtype, kv_sharding) for _ in range(num_layers))
     if quantized:
-        sshape = (num_kv_heads, num_pages, page_size)
-        mks = lambda: tuple(jnp.zeros(sshape, dtype=jnp.float32) for _ in range(num_layers))
-        return KVCache(k=mk(), v=mk(), k_scale=mks(), v_scale=mks())
-    return KVCache(k=mk(), v=mk())
+        sshape = (num_pages * page_size, num_kv_heads)
+        mks = lambda: tuple(
+            alloc_zeros(sshape, jnp.float32, scale_sharding) for _ in range(num_layers)
+        )
+        return KVCache(k=mk(), v=mk(), k_scale=mks(), v_scale=mks(), page_size=page_size)
+    return KVCache(k=mk(), v=mk(), page_size=page_size)
 
 
 def new_latent_cache(
-    num_layers: int, num_pages: int, page_size: int, latent_dim: int, dtype=jnp.bfloat16
+    num_layers: int, num_pages: int, page_size: int, latent_dim: int, dtype=jnp.bfloat16,
+    sharding=None,
 ) -> KVCache:
-    shape = (num_pages, page_size, latent_dim)
-    return KVCache(latent=tuple(jnp.zeros(shape, dtype=dtype) for _ in range(num_layers)))
+    # feature dim padded to the lane tile so page-granular Pallas DMA writes
+    # are legal (Mosaic: 2-D slices must be 128-aligned in the minor dim)
+    padded = (latent_dim + 127) // 128 * 128
+    shape = (num_pages * page_size, padded)
+    return KVCache(
+        latent=tuple(alloc_zeros(shape, dtype, sharding) for _ in range(num_layers)),
+        page_size=page_size,
+    )
 
 
-def _scatter_rows_headmajor(layer_arr: jax.Array, idx: jax.Array, rows: jax.Array) -> jax.Array:
-    """layer_arr [H, P, S, ...]; rows [T, H, ...]; idx [T] flat (page*S+off).
+def _pallas_writes_on() -> bool:
+    """XLA's row scatter prefers a scattered-dim-minor cache layout that
+    conflicts with the Pallas attention kernel's default-layout operands,
+    costing two full-cache layout copies per layer per step; on TPU writes
+    run as Pallas DMA kernels instead (ops/pallas/kv_write.py)."""
+    import os
 
-    Out-of-range indices are dropped.
-    """
-    H = layer_arr.shape[0]
-    flat = layer_arr.reshape((H, -1) + layer_arr.shape[3:])  # [H, P*S, ...]
-    rows_hm = jnp.moveaxis(rows.astype(layer_arr.dtype), 1, 0)  # [H, T, ...]
-    flat = flat.at[:, idx].set(rows_hm, mode="drop")
-    return flat.reshape(layer_arr.shape)
+    if os.environ.get("ZT_NO_PALLAS") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _rows_tile_aligned(rows: jax.Array) -> bool:
+    """Mosaic accepts per-row DMA slices only when the trailing-two-dim
+    window is tile-aligned; otherwise the 2-D page-granular kernels run."""
+    return rows.ndim == 3 and rows.shape[-2] % 8 == 0 and rows.shape[-1] % 128 == 0
+
+
+def _scatter_rows(arr: jax.Array, idx: jax.Array, rows: jax.Array) -> jax.Array:
+    """Dim-0 row scatter through a 2-D view: merging the minor dims keeps the
+    reshape a bitcast and the 2-D row scatter layout-neutral, so XLA doesn't
+    flip the cache layout between the scatter and the Pallas attention
+    custom-call (which would cost two full-cache copies per layer)."""
+    lead = arr.shape[0]
+    flat = arr.reshape(lead, -1)
+    out = flat.at[idx].set(rows.astype(arr.dtype).reshape(rows.shape[0], -1), mode="drop")
+    return out.reshape(arr.shape)
 
 
 def write_kv(
@@ -140,26 +202,42 @@ def write_kv(
     v_new: jax.Array,
     slot_mapping: jax.Array,  # [T] int32 flat slot (= page*page_size + offset); <0 => skip
 ) -> KVCache:
-    """Scatter new K/V rows into the paged pool (replaces copy_to_rag_buffer2,
-    src/kvcache/ragged_buffer_kernel.cu, as an XLA scatter)."""
-    cap = cache.num_pages * cache.page_size
-    idx = jnp.where(slot_mapping >= 0, slot_mapping, cap)  # cap is OOB -> dropped
+    """Write new K/V rows into the paged pool (replaces copy_to_rag_buffer2,
+    src/kvcache/ragged_buffer_kernel.cu): Pallas in-place DMA kernel on TPU,
+    dim-0 XLA scatter elsewhere."""
+    feature = k_new.shape[-2] * k_new.shape[-1] if k_new.ndim == 3 else k_new.shape[-1]
+    if not cache.quantized and _pallas_writes_on() and feature % 128 == 0:
+        if _rows_tile_aligned(k_new):
+            from ..ops.pallas.kv_write import paged_write_rows
+
+            k, v = paged_write_rows(
+                cache.k[layer], cache.v[layer], k_new, v_new, slot_mapping, cache.page_size
+            )
+        else:
+            from ..ops.pallas.kv_write import write_rows_2d_pair
+
+            k, v = write_rows_2d_pair(
+                cache.k[layer], cache.v[layer], k_new, v_new, slot_mapping, cache.page_size
+            )
+        return cache.set_layer(layer, k=k, v=v)
+
+    idx = jnp.where(slot_mapping >= 0, slot_mapping, cache.num_slots)  # OOB -> dropped
 
     if cache.quantized:
         k_q, k_s = _quantize_rows(k_new)
         v_q, v_s = _quantize_rows(v_new)
         return cache.set_layer(
             layer,
-            k=_scatter_rows_headmajor(cache.k[layer], idx, k_q),
-            v=_scatter_rows_headmajor(cache.v[layer], idx, v_q),
-            k_scale=_scatter_rows_headmajor(cache.k_scale[layer], idx, k_s),
-            v_scale=_scatter_rows_headmajor(cache.v_scale[layer], idx, v_s),
+            k=_scatter_rows(cache.k[layer], idx, k_q),
+            v=_scatter_rows(cache.v[layer], idx, v_q),
+            k_scale=cache.k_scale[layer].at[idx].set(k_s, mode="drop"),
+            v_scale=cache.v_scale[layer].at[idx].set(v_s, mode="drop"),
         )
 
     return cache.set_layer(
         layer,
-        k=_scatter_rows_headmajor(cache.k[layer], idx, k_new),
-        v=_scatter_rows_headmajor(cache.v[layer], idx, v_new),
+        k=_scatter_rows(cache.k[layer], idx, k_new),
+        v=_scatter_rows(cache.v[layer], idx, v_new),
     )
 
 
@@ -169,12 +247,18 @@ def write_latent(
     latent_new: jax.Array,  # [T, latent_dim]
     slot_mapping: jax.Array,  # [T]
 ) -> KVCache:
-    cap = cache.num_pages * cache.page_size
-    idx = jnp.where(slot_mapping >= 0, slot_mapping, cap)
     arr = cache.latent[layer]
-    flat = arr.reshape((-1,) + arr.shape[2:])
-    flat = flat.at[idx].set(latent_new.astype(arr.dtype), mode="drop")
-    return cache.set_layer(layer, latent=flat.reshape(arr.shape))
+    pad = arr.shape[1] - latent_new.shape[1]
+    if pad:
+        latent_new = jnp.pad(latent_new, ((0, 0), (0, pad)))
+    if _pallas_writes_on() and arr.shape[1] % 128 == 0:
+        from ..ops.pallas.kv_write import write_rows_2d
+
+        lat = write_rows_2d(arr, latent_new, slot_mapping, cache.page_size)
+        return cache.set_layer(layer, latent=lat)
+
+    idx = jnp.where(slot_mapping >= 0, slot_mapping, cache.num_slots)
+    return cache.set_layer(layer, latent=arr.at[idx].set(latent_new.astype(arr.dtype), mode="drop"))
 
 
 def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -185,6 +269,13 @@ def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _slot_indices(page_indices: jax.Array, page_size: int) -> jax.Array:
+    """[..., pages] page ids -> [..., pages*page_size] slot ids."""
+    safe = jnp.maximum(page_indices, 0)
+    slots = safe[..., None] * page_size + jnp.arange(page_size, dtype=jnp.int32)
+    return slots.reshape(page_indices.shape[:-1] + (page_indices.shape[-1] * page_size,))
+
+
 def gather_kv(
     cache: KVCache,
     layer: int,
@@ -192,29 +283,21 @@ def gather_kv(
 ) -> Tuple[jax.Array, jax.Array]:
     """Gather pages into contiguous [..., pages*page_size, kv_heads, head_dim].
 
-    jnp reference path (testing / XLA fallback); the Pallas decode kernel
-    streams pages from HBM instead of materializing this gather.
+    jnp reference path (testing / XLA fallback / prefill); the Pallas decode
+    kernel streams pages from HBM instead of materializing this gather.
     """
-    S = cache.page_size
-    safe = jnp.maximum(page_indices, 0)
-    k = cache.k[layer][:, safe]  # [H, *lead, pages, S, D]
-    v = cache.v[layer][:, safe]
+    slots = _slot_indices(page_indices, cache.page_size)
+    k = cache.k[layer][slots]
+    v = cache.v[layer][slots]
     if cache.quantized:
-        ks = cache.k_scale[layer][:, safe]
-        vs = cache.v_scale[layer][:, safe]
+        ks = cache.k_scale[layer][slots]
+        vs = cache.v_scale[layer][slots]
         k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
         v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
-    # [H, *lead, pages, S, D] -> [*lead, pages*S, H, D]
-    k = jnp.moveaxis(k, 0, -2)
-    v = jnp.moveaxis(v, 0, -2)
-    newshape = page_indices.shape[:-1] + (page_indices.shape[-1] * S,) + k.shape[-2:]
-    return k.reshape(newshape), v.reshape(newshape)
+    return k, v
 
 
 def gather_latent(cache: KVCache, layer: int, page_indices: jax.Array) -> jax.Array:
     """Gather latent pages into [..., pages*page_size, latent_dim]."""
-    S = cache.page_size
-    safe = jnp.maximum(page_indices, 0)
-    lat = cache.latent[layer][safe]
-    newshape = page_indices.shape[:-1] + (page_indices.shape[-1] * S, lat.shape[-1])
-    return lat.reshape(newshape)
+    slots = _slot_indices(page_indices, cache.page_size)
+    return cache.latent[layer][slots]

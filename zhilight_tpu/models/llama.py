@@ -99,8 +99,8 @@ def _use_pallas_decode(cfg: ModelConfig, cache: KVCache) -> bool:
         return False
     if cache.quantized:
         return False
-    # blocks span the full head_dim, so any 8-aligned D lowers (D < 128 pads lanes)
-    return cfg.dim_head % 8 == 0
+    # slot-major pages DMA on the untiled dim, so any head_dim lowers
+    return True
 
 
 def attention_layer(
@@ -140,6 +140,7 @@ def attention_layer(
             cache.v[layer_idx],
             meta.page_tables,
             meta.context_lens,
+            cache.page_size,
             scale,
             cfg.sliding_window,
         )

@@ -131,8 +131,9 @@ def _mla_decode(
 ) -> jax.Array:
     """Absorbed-weight MQA in latent space (reference forward_compressed_cache)."""
     B, KV = ctx.shape[0], ctx.shape[1]
+    # the latent pool's feature dim is lane-padded; slice explicitly
     c_kv = ctx[..., : m.kv_lora_rank]
-    k_pe = ctx[..., m.kv_lora_rank :]
+    k_pe = ctx[..., m.kv_lora_rank : m.kv_lora_rank + m.qk_rope_head_dim]
 
     # absorb: q into latent space [B, H, lora]
     q_latent = jnp.einsum(
@@ -177,7 +178,7 @@ def _mla_prefill(
     T, H = q_nope.shape[0], q_nope.shape[1]
     KV = ctx.shape[0]
     c_kv = ctx[..., : m.kv_lora_rank]
-    k_pe = ctx[..., m.kv_lora_rank :]  # [KV, rope]
+    k_pe = ctx[..., m.kv_lora_rank : m.kv_lora_rank + m.qk_rope_head_dim]  # [KV, rope]
 
     k_nope = jnp.einsum(
         "sl,lhn->shn", c_kv, w_uk, preferred_element_type=jnp.float32

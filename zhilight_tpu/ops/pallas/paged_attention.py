@@ -5,14 +5,21 @@ WMMA decode kernels over ragged buffers (src/nn/attention/attention_kernel.cu
 KERNEL_mqa_rag_buffer family, :539-1100) and its flash-decoding integration.
 
 Design (bandwidth-first — decode attention is HBM-bound):
-  * K/V pages stay in HBM (`memory_space=ANY`); the kernel DMAs
-    ``pages_per_block`` pages at a time into a double-buffered VMEM scratch,
-    prefetching block i+1 while computing block i, so the per-DMA issue
-    latency is hidden and the stream runs at HBM bandwidth.
+  * K/V pools are slot-major ``[num_slots, Hkv, D]`` so one page is one
+    contiguous ``[page_size, Hkv, D]`` chunk; pages stay in HBM
+    (`memory_space=ANY`) and the kernel DMAs ``pages_per_block`` pages at a
+    time into a double-buffered VMEM scratch, prefetching block i+1 while
+    computing block i. Slicing the untiled slot dim is legal for any head_dim.
   * grid = (batch, page_blocks); page indices come from the scalar-prefetched
-    block table; out-of-range pages skip both copy and compute.
+    block table; out-of-range positions clamp to the last valid page (the
+    causal mask removes their contribution — the buffers must never hold
+    uninitialized VMEM, 0 * NaN = NaN in the p @ v accumulation).
   * online-softmax accumulation in fp32 VMEM scratch across page blocks;
     batched-head matmuls serve GQA (G>1) and MHA (G=1) alike.
+
+A BlockSpec-pipelined variant (Mosaic-managed fetches, ``fetch_pages``
+independent page windows per grid step) is kept for comparison/debugging via
+``use_blockspec=True``.
 """
 
 from __future__ import annotations
@@ -36,16 +43,16 @@ def _kernel(
     context_lens_ref,  # [B] int32 (SMEM)
     # inputs
     q_ref,  # [1, Hkv, G, D] VMEM
-    k_hbm,  # [Hkv, P, S, D] ANY (HBM)
-    v_hbm,  # [Hkv, P, S, D] ANY (HBM)
+    k_hbm,  # [N_slots, Hkv, D] ANY (HBM)
+    v_hbm,  # [N_slots, Hkv, D] ANY (HBM)
     # output
     o_ref,  # [1, Hkv, G, D] VMEM
     # scratch
     m_ref,  # [Hkv, G, 1] f32
     l_ref,  # [Hkv, G, 1] f32
     acc_ref,  # [Hkv, G, D] f32
-    k_buf,  # [2, Hkv, PPB*S, D]
-    v_buf,  # [2, Hkv, PPB*S, D]
+    k_buf,  # [2, PPB*S, Hkv, D]
+    v_buf,  # [2, PPB*S, Hkv, D]
     sems,  # DMA semaphores [2, 2, PPB]
     *,
     page_size: int,
@@ -71,20 +78,20 @@ def _kernel(
         for j in range(PPB):
             page = _page_at(block_idx * PPB + j)
             pltpu.make_async_copy(
-                k_hbm.at[:, page], k_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 0, j]
+                k_hbm.at[pl.ds(page * S, S)], k_buf.at[slot, pl.ds(j * S, S)], sems.at[slot, 0, j]
             ).start()
             pltpu.make_async_copy(
-                v_hbm.at[:, page], v_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 1, j]
+                v_hbm.at[pl.ds(page * S, S)], v_buf.at[slot, pl.ds(j * S, S)], sems.at[slot, 1, j]
             ).start()
 
     def wait_copies(block_idx, slot):
         for j in range(PPB):
             page = _page_at(block_idx * PPB + j)
             pltpu.make_async_copy(
-                k_hbm.at[:, page], k_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 0, j]
+                k_hbm.at[pl.ds(page * S, S)], k_buf.at[slot, pl.ds(j * S, S)], sems.at[slot, 0, j]
             ).wait()
             pltpu.make_async_copy(
-                v_hbm.at[:, page], v_buf.at[slot, :, pl.ds(j * S, S)], sems.at[slot, 1, j]
+                v_hbm.at[pl.ds(page * S, S)], v_buf.at[slot, pl.ds(j * S, S)], sems.at[slot, 1, j]
             ).wait()
 
     @pl.when(i == 0)
@@ -111,11 +118,23 @@ def _kernel(
     def _compute():
         wait_copies(i, slot)
         q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
-        k = k_buf[slot].astype(jnp.float32)  # [Hkv, PPB*S, D]
-        v = v_buf[slot].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # [Hkv, G, PPB*S]
+        Hkv = q.shape[0]
+        if Hkv == 1:
+            # MQA / MLA latent decode: plain 2-D matmuls, no batch dims
+            k2 = k_buf[slot][:, 0].astype(jnp.float32)  # [T, D]
+            v2 = v_buf[slot][:, 0].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q[0], k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )[None]  # [1, G, T]
+        else:
+            # DMA deposits pages token-major [T, Hkv, D]; Mosaic batched
+            # matmuls need the batch dim leading on both operands, so
+            # relayout to [Hkv, T, D] once per block (VMEM-local)
+            k = jnp.swapaxes(k_buf[slot], 0, 1).astype(jnp.float32)  # [Hkv, T, D]
+            v = jnp.swapaxes(v_buf[slot], 0, 1).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )  # [Hkv, G, PPB*S]
         s = s * scale
 
         token_idx = i * (PPB * S) + jax.lax.broadcasted_iota(
@@ -132,9 +151,15 @@ def _kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
+        if Hkv == 1:
+            upd = jax.lax.dot_general(
+                p[0], v2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )[None]  # [1, G, D]
+        else:
+            upd = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+        acc_ref[...] = acc_ref[...] * alpha + upd
         m_ref[...] = m_new
 
     @pl.when(i == num_blocks - 1)
@@ -155,13 +180,11 @@ def _kernel_bs(
     scale: float,
     sliding_window: int,
 ):
-    """BlockSpec-pipelined variant. Used when head_dim is not lane-aligned
-    (D % 128 != 0): Mosaic cannot DMA slices of lane-padded arrays, so the
-    pipeline does the page fetches. ``fetch_pages`` pages are fetched per grid
-    step through independent BlockSpecs so the per-step compute amortizes the
-    pipeline's fixed cost (one-page steps were ~7x off HBM roofline).
-    Out-of-range positions clamp to the last valid page; the causal mask
-    removes their contribution."""
+    """BlockSpec-pipelined variant: Mosaic's pipeline does the page fetches
+    through ``fetch_pages`` independent page windows per grid step (one-page
+    steps were ~7x off HBM roofline from fixed per-step cost). Out-of-range
+    positions clamp to the last valid page; the causal mask removes their
+    contribution."""
     q_ref = refs[0]
     k_refs = refs[1 : 1 + fetch_pages]
     v_refs = refs[1 + fetch_pages : 1 + 2 * fetch_pages]
@@ -183,11 +206,21 @@ def _kernel_bs(
     @pl.when((i * FPB) < num_valid_pages)
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
-        k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(jnp.float32)
-        v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1).astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # [Hkv, G, FPB*S]
+        Hkv = q.shape[0]
+        kt = jnp.concatenate([r[:] for r in k_refs], axis=0)  # [FPB*S, Hkv, D]
+        vt = jnp.concatenate([r[:] for r in v_refs], axis=0)
+        if Hkv == 1:
+            k2 = kt[:, 0].astype(jnp.float32)
+            v2 = vt[:, 0].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q[0], k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )[None]
+        else:
+            k = jnp.swapaxes(kt, 0, 1).astype(jnp.float32)  # [Hkv, FPB*S, D]
+            v = jnp.swapaxes(vt, 0, 1).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )  # [Hkv, G, FPB*S]
         s = s * scale
         token_idx = i * (FPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
         mask = token_idx < ctx
@@ -199,9 +232,15 @@ def _kernel_bs(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
+        if Hkv == 1:
+            upd = jax.lax.dot_general(
+                p[0], v2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )[None]
+        else:
+            upd = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+        acc_ref[...] = acc_ref[...] * alpha + upd
         m_ref[...] = m_new
 
     @pl.when(i == num_blocks - 1)
@@ -211,11 +250,12 @@ def _kernel_bs(
 
 
 def _paged_decode_blockspec(
-    q_g, k_pages, v_pages, safe_tables, context_lens, scale, sliding_window,
-    interpret, fetch_pages=8,
+    q_g,  # [B, Hkv, G, D]
+    k_pages, v_pages, safe_tables, context_lens, page_size, scale,
+    sliding_window, interpret, fetch_pages=8,
 ):
     B, Hkv, G, D = q_g.shape
-    _, P, S, _ = k_pages.shape
+    S = page_size
     maxp = safe_tables.shape[1]
     FPB = min(fetch_pages, maxp)
     num_blocks = (maxp + FPB - 1) // FPB
@@ -229,11 +269,11 @@ def _paged_decode_blockspec(
             valid = pl.cdiv(ctx, S)
             pos = i * FPB + j
             page = page_tables_ref[b, jnp.minimum(pos, jnp.maximum(valid - 1, 0))]
-            return (0, page, 0, 0)
+            return (page, 0, 0)
 
         return kv_index
 
-    kv_specs = [pl.BlockSpec((Hkv, 1, S, D), kv_index_at(j)) for j in range(FPB)]
+    kv_specs = [pl.BlockSpec((S, Hkv, D), kv_index_at(j)) for j in range(FPB)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, num_blocks),
@@ -266,17 +306,20 @@ def _paged_decode_blockspec(
 
 def paged_decode_attention(
     q: jax.Array,  # [B, Hq, D]
-    k_pages: jax.Array,  # [Hkv, P, S, D]
-    v_pages: jax.Array,  # [Hkv, P, S, D]
+    k_pages: jax.Array,  # [N_slots, Hkv, D]
+    v_pages: jax.Array,  # [N_slots, Hkv, D]
     page_tables: jax.Array,  # [B, maxp] int32, -1 padded
     context_lens: jax.Array,  # [B] int32
+    page_size: int,
     scale: float,
     sliding_window: int = 0,
     pages_per_block: int = 8,
     interpret: bool = False,
+    use_blockspec: bool = False,
 ) -> jax.Array:
     B, Hq, D = q.shape
-    Hkv, P, S, _ = k_pages.shape
+    _, Hkv, _ = k_pages.shape
+    S = page_size
     G = Hq // Hkv
     maxp = page_tables.shape[1]
     PPB = min(pages_per_block, maxp)
@@ -285,11 +328,16 @@ def paged_decode_attention(
     q_g = q.reshape(B, Hkv, G, D)
     safe_tables = jnp.maximum(page_tables, 0)
 
-    if D % 128 != 0:
-        # lane-padded head dims can't be DMA-sliced by Mosaic; use the
-        # BlockSpec-pipelined variant (bigger page_size recommended there)
+    # The manual-DMA kernel slices its VMEM scratch at page granularity;
+    # Mosaic rejects slices of lane/sublane-padded buffers, so it needs
+    # tile-aligned (Hkv, D). Everything else takes the BlockSpec variant
+    # (Mosaic-managed page fetches handle padding internally).
+    if D % 128 != 0 or Hkv % 8 != 0:
+        use_blockspec = True
+
+    if use_blockspec:
         return _paged_decode_blockspec(
-            q_g, k_pages, v_pages, safe_tables, context_lens, scale,
+            q_g, k_pages, v_pages, safe_tables, context_lens, S, scale,
             sliding_window, interpret, fetch_pages=PPB,
         ).reshape(B, Hq, D)
 
@@ -309,8 +357,8 @@ def paged_decode_attention(
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
             pltpu.VMEM((Hkv, G, D), jnp.float32),
-            pltpu.VMEM((2, Hkv, PPB * S, D), k_pages.dtype),
-            pltpu.VMEM((2, Hkv, PPB * S, D), v_pages.dtype),
+            pltpu.VMEM((2, PPB * S, Hkv, D), k_pages.dtype),
+            pltpu.VMEM((2, PPB * S, Hkv, D), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2, PPB)),
         ],
     )

@@ -149,9 +149,17 @@ def sample_step(
     key: jax.Array,
     logit_bias_tokens: Optional[jax.Array] = None,  # [B, NB] int32, -1 pad
     logit_bias_values: Optional[jax.Array] = None,  # [B, NB] f32
+    penalty_tokens: Optional[jax.Array] = None,  # [B, NP] int32, -1 pad
+    penalty_values: Optional[jax.Array] = None,  # [B, NP] f32 multiplicative
     num_logprobs: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, SamplerState]:
     """One sampling step for every slot.
+
+    ``penalty_tokens``/``penalty_values`` carry host-computed multiplicative
+    penalties (the reference's ngram x repetition map, beam_util.cu
+    calc_repetition_ngram + beam_repetition_penalty): logit>0 ? l/v : l*v.
+    Slots using them have repetition_penalty set to 1 on device so the
+    count-based path doesn't double-penalize.
 
     Returns (tokens [B], chosen_logprob [B], top_logprobs [B, num_logprobs],
     top_tokens [B, num_logprobs], new_state).
@@ -159,6 +167,12 @@ def sample_step(
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
     logits = apply_penalties(logits, state.token_counts, p)
+
+    if penalty_tokens is not None:
+        vmap_ = jnp.ones((B, V), jnp.float32).at[
+            jnp.arange(B)[:, None], jnp.where(penalty_tokens >= 0, penalty_tokens, V)
+        ].set(jnp.maximum(penalty_values, 1e-6), mode="drop")
+        logits = jnp.where(logits > 0, logits / vmap_, logits * vmap_)
 
     if logit_bias_tokens is not None:
         bias = jnp.zeros((B, V), jnp.float32).at[

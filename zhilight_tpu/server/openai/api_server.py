@@ -134,9 +134,7 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
                         content=content,
                         reasoning_content=reasoning or None,
                     ),
-                    finish_reason="length"
-                    if out.output_tokens_num >= arg.max_length
-                    else "stop",
+                    finish_reason=out.finish_reason,
                 )
             ],
             usage=UsageInfo(
@@ -204,9 +202,7 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
                     delta=DeltaMessage(
                         content=content or None, reasoning_content=reasoning or None
                     ),
-                    finish_reason="length"
-                    if final_out and final_out.output_tokens_num >= arg.max_length
-                    else "stop",
+                    finish_reason=final_out.finish_reason if final_out else "stop",
                 )
             ],
             usage=UsageInfo(
@@ -249,7 +245,7 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
                 CompletionChoice(
                     index=i,
                     text=text,
-                    finish_reason="length" if out.output_tokens_num >= arg0.max_length else "stop",
+                    finish_reason=out.finish_reason,
                 )
             )
             usage.prompt_tokens += len(tokens)

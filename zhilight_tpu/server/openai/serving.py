@@ -15,7 +15,7 @@ import queue as _queue
 import time
 from typing import AsyncGenerator, List, Optional, Tuple, Union
 
-from ...engine.detokenizer import IncrementalDetokenizer
+from ...engine.detokenizer import IncrementalDetokenizer, StopStringChecker
 from ...engine.task import GeneratorArg, SearchTask, StreamResultType
 from .protocol import (
     ChatCompletionRequest,
@@ -36,6 +36,9 @@ def arg_from_request(req: Union[ChatCompletionRequest, CompletionRequest], max_m
     logit_bias = None
     if req.logit_bias:
         logit_bias = {int(k): float(v) for k, v in req.logit_bias.items()}
+    stop_strings = None
+    if req.stop:
+        stop_strings = [req.stop] if isinstance(req.stop, str) else list(req.stop)
     return GeneratorArg(
         max_length=max_tokens,
         temperature=req.temperature,
@@ -47,6 +50,8 @@ def arg_from_request(req: Union[ChatCompletionRequest, CompletionRequest], max_m
         seed=req.seed or 0,
         top_logprobs=top_logprobs,
         logit_bias=logit_bias,
+        stop_token_ids=list(req.stop_token_ids) if req.stop_token_ids else None,
+        stop_strings=stop_strings,
     )
 
 
@@ -85,6 +90,8 @@ class AsyncEngine:
         loop = asyncio.get_running_loop()
         task = SearchTask(tokens, arg, stream=True)
         detok = IncrementalDetokenizer(self.tokenizer)
+        stopper = StopStringChecker(arg.stop_strings, arg.include_stop_str_in_output)
+        released = ""
         self.gen.scheduler.submit(task)
         try:
             while True:
@@ -93,15 +100,33 @@ class AsyncEngine:
                     continue
                 if flag == StreamResultType.Incremental:
                     text = detok.put(payload)
+                    if stopper.active:
+                        text, hit = stopper.put(text)
+                        if hit:
+                            task.finish_reason = "stop"
+                            task.cancel()
                     if text:
+                        released += text
                         yield text, None
                 elif flag == StreamResultType.Final:
                     if isinstance(payload, BaseException):
                         raise payload
                     tail = detok.finish()
+                    if stopper.active:
+                        if not stopper.stopped:
+                            t2, hit = stopper.put(tail)
+                            tail = t2 + ("" if hit else stopper.finish())
+                            if hit:
+                                payload.finish_reason = "stop"
+                        else:
+                            tail = ""
                     if tail:
+                        released += tail
                         yield tail, None
                     payload.decode(self.tokenizer)
+                    if stopper.active:
+                        # decoded full text may run past the stop string
+                        payload.text = released
                     yield "", payload
                     return
         finally:

@@ -54,7 +54,7 @@ def main():
     PAGE = 16
     CTX = 512
     MAX_PAGES = 40  # max_model_len 640 (KV pool 7.5GB + 5.4GB params on 16GB v5e)
-    WINDOWS = 6
+    WINDOWS = 10
 
     ecfg = EngineConfig(
         max_model_len=MAX_PAGES * PAGE,
@@ -76,15 +76,16 @@ def main():
 
     # warmup/compile
     tok, _, _, _ = ex.run_decode_multi(
-        tokens, page_tables, positions, context_lens, limits, sparams, K
+        tokens, page_tables, positions, context_lens, limits, sparams, K,
+        greedy_only=True,
     )
 
     t0 = time.perf_counter()
-    ctx = CTX
     for w in range(WINDOWS):
+        # production steady-state: chain from the device-resident carry
         tok, _, _, _ = ex.run_decode_multi(
-            tok[-1], page_tables, positions + (w + 1) * K,
-            context_lens + (w + 1) * K, limits, sparams, K,
+            tokens, page_tables, positions, context_lens, limits, sparams, K,
+            greedy_only=True, reuse_carry=True,
         )
     dt = time.perf_counter() - t0
 

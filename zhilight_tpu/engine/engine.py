@@ -111,6 +111,8 @@ class ModelExecutor:
             self._state_fmt = jax.tree.map(lambda x: x.sharding, self.sampler_state)
 
         self._compiled: Dict[Any, Callable] = {}
+        # device-resident decode window carry (see run_decode_multi)
+        self._decode_carry: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     # sizing
@@ -261,13 +263,16 @@ class ModelExecutor:
 
         return decode_step
 
-    def _decode_multi_fn(self, num_steps: int, num_logprobs: int, nb: int = 0, np_: int = 0):
+    def _decode_multi_fn(self, num_steps: int, num_logprobs: int, nb: int = 0, np_: int = 0,
+                         greedy_only: bool = False):
         """K decode steps in one program via lax.scan: sampled tokens feed the
         next step on device, positions/context_lens/slot mappings advance on
         device, and per-slot ``limits`` freeze slots that hit their token
         budget mid-window (their writes drop, their outputs are discarded by
         the host). Replaces the reference's per-token scheduler round trips
-        (batch_generator.cpp:1445-1637) with one host sync per K tokens."""
+        (batch_generator.cpp:1445-1637) with one host sync per K tokens.
+        Returns the advanced (tokens, positions, context_lens) carry so the
+        host can chain windows without re-uploading state."""
         cfg, rope = self.cfg, self.rope
         S = self.page_size
 
@@ -276,7 +281,9 @@ class ModelExecutor:
         @functools.partial(
             jax.jit,
             donate_argnums=(2, 3),
-            out_shardings=(rep, rep, rep, rep, self._cache_fmt, self._state_fmt),
+            out_shardings=(
+                rep, rep, rep, rep, self._cache_fmt, self._state_fmt, rep, rep, rep
+            ),
         )
         def decode_multi(params, tokens, cache, sampler_state, page_tables, positions, context_lens, limits, sparams, key,
                          bias_tok, bias_val, pen_tok, pen_val):
@@ -301,6 +308,7 @@ class ModelExecutor:
                     penalty_tokens=pen_tok if np_ else None,
                     penalty_values=pen_val if np_ else None,
                     num_logprobs=num_logprobs,
+                    greedy_only=greedy_only,
                 )
                 # frozen slots keep their sampler state (penalty counts must
                 # not absorb the garbage tokens they emit)
@@ -314,11 +322,46 @@ class ModelExecutor:
                 return (tokens, cache, state, positions, context_lens), (tok, lp, toplp, toptok)
 
             carry = (tokens, cache, sampler_state, positions, context_lens)
-            (tokens, cache, state, _, _), outs = jax.lax.scan(body, carry, None, length=num_steps)
+            (tokens, cache, state, positions, context_lens), outs = jax.lax.scan(
+                body, carry, None, length=num_steps
+            )
             tok, lp, toplp, toptok = outs
-            return tok, lp, toplp, toptok, cache, state
+            return tok, lp, toplp, toptok, cache, state, tokens, positions, context_lens
 
         return decode_multi
+
+    def _copy_rows_fn(self, m: int):
+        """Copy cache rows src->dst across every layer (beam-search page
+        copy-on-write; reference BeamBufferManager placement sharing +
+        clone_block in paged_kvcache.cu)."""
+
+        @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=self._cache_fmt)
+        def copy_rows(cache, src, dst):
+            safe_src = jnp.maximum(src, 0)
+            oob = jnp.where(dst >= 0, dst, cache.num_slots)
+
+            def upd(arr):
+                lead = arr.shape[0]
+                flat = arr.reshape(lead, -1)
+                rows = flat[safe_src]
+                return flat.at[oob].set(rows, mode="drop").reshape(arr.shape)
+
+            return jax.tree.map(upd, cache)
+
+        return copy_rows
+
+    def copy_slots(self, src_rows: np.ndarray, dst_rows: np.ndarray):
+        """Batched cache row copies (slot indices); -1 pairs are skipped."""
+        m = 1
+        while m < len(src_rows):
+            m *= 2
+        src = np.full(m, -1, np.int32)
+        dst = np.full(m, -1, np.int32)
+        src[: len(src_rows)] = src_rows
+        dst[: len(dst_rows)] = dst_rows
+        fn = self._get(("copy_rows", m), lambda: self._copy_rows_fn(m))
+        self.cache = fn(self.cache, jnp.asarray(src), jnp.asarray(dst))
+        self._decode_carry = None  # cache buffer replaced; force re-sync
 
     def _record_fn(self, bucket: int):
         @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=self._state_fmt)
@@ -348,11 +391,14 @@ class ModelExecutor:
         fn = self._get(("chunk", bucket), lambda: self._chunk_step_fn(bucket))
         self.cache = fn(self.params, jnp.asarray(tokens), self.cache, meta)
 
-    @staticmethod
-    def _pair(arr_tok, arr_val, rows: int):
+    def _pair(self, arr_tok, arr_val, rows: int):
         """Normalize optional (tokens, values) host arrays to device arrays."""
         if arr_tok is None:
-            return jnp.zeros((rows, 0), jnp.int32), jnp.zeros((rows, 0), jnp.float32), 0
+            cached = self._compiled.get(("empty_pair", rows))
+            if cached is None:
+                cached = (jnp.zeros((rows, 0), jnp.int32), jnp.zeros((rows, 0), jnp.float32))
+                self._compiled[("empty_pair", rows)] = cached
+            return cached[0], cached[1], 0
         return jnp.asarray(arr_tok), jnp.asarray(arr_val), int(arr_tok.shape[1])
 
     def run_prefill(
@@ -402,25 +448,44 @@ class ModelExecutor:
         num_logprobs: int = 0,
         bias: Optional[Tuple[np.ndarray, np.ndarray]] = None,      # ([B,NB] tok, [B,NB] val)
         penalties: Optional[Tuple[np.ndarray, np.ndarray]] = None,  # ([B,NP] tok, [B,NP] val)
+        greedy_only: bool = False,
+        reuse_carry: bool = False,
     ):
         """Returns (tokens [K, B], logprobs [K, B], top_lp [K, B, L],
-        top_tok [K, B, L]); the host discards entries past each slot's limit."""
+        top_tok [K, B, L]); the host discards entries past each slot's limit.
+
+        ``reuse_carry=True`` chains from the previous window's device-resident
+        (tokens, positions, context_lens, page_tables, limits) instead of
+        uploading the numpy arguments — valid only when the slot set, pages
+        and limits are unchanged and every slot consumed the full window."""
         B = tokens.shape[0]
         bias_tok, bias_val, nb = self._pair(*(bias or (None, None)), rows=B)
         pen_tok, pen_val, np_ = self._pair(*(penalties or (None, None)), rows=B)
+        key = ("decode_multi", num_steps, num_logprobs, nb, np_, greedy_only)
         fn = self._get(
-            ("decode_multi", num_steps, num_logprobs, nb, np_),
-            lambda: self._decode_multi_fn(num_steps, num_logprobs, nb, np_),
+            key,
+            lambda: self._decode_multi_fn(num_steps, num_logprobs, nb, np_, greedy_only),
         )
-        tok, lp, toplp, toptok, self.cache, self.sampler_state = fn(
+        if reuse_carry and self._decode_carry is not None and self._decode_carry[0] == key:
+            _, d_tokens, d_pos, d_ctx, d_pt, d_lim = self._decode_carry
+        else:
+            # place with the carry outputs' sharding so chained windows hit
+            # the same compiled variant (a second input-sharding variant
+            # costs a full recompile)
+            d_tokens = jax.device_put(tokens, self._rep)
+            d_pos = jax.device_put(positions, self._rep)
+            d_ctx = jax.device_put(context_lens, self._rep)
+            d_pt = jax.device_put(page_tables, self._rep)
+            d_lim = jax.device_put(limits, self._rep)
+        tok, lp, toplp, toptok, self.cache, self.sampler_state, c_tok, c_pos, c_ctx = fn(
             self.params,
-            jnp.asarray(tokens),
+            d_tokens,
             self.cache,
             self.sampler_state,
-            jnp.asarray(page_tables),
-            jnp.asarray(positions),
-            jnp.asarray(context_lens),
-            jnp.asarray(limits),
+            d_pt,
+            d_pos,
+            d_ctx,
+            d_lim,
             sparams,
             self.base_key,
             bias_tok,
@@ -428,7 +493,8 @@ class ModelExecutor:
             pen_tok,
             pen_val,
         )
-        return np.asarray(tok), np.asarray(lp), np.asarray(toplp), np.asarray(toptok)
+        self._decode_carry = (key, c_tok, c_pos, c_ctx, d_pt, d_lim)
+        return jax.device_get((tok, lp, toplp, toptok))
 
     def run_decode(
         self,

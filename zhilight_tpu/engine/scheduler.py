@@ -70,6 +70,9 @@ class Scheduler:
         }
         self._sp_dirty = True
         self._sp_device: Optional[SamplingParams] = None
+        # device-resident decode carry validity: True when the next decode
+        # window may chain from device state without re-uploading
+        self._decode_clean = False
 
     # ------------------------------------------------------------------
     # public API
@@ -179,6 +182,7 @@ class Scheduler:
             self._assign(task, slot)
 
     def _assign(self, task: SearchTask, slot: int):
+        self._decode_clean = False
         task.slot = slot
         task.status = TaskStatus.PREFILL
         self.slots[slot] = task
@@ -281,6 +285,7 @@ class Scheduler:
         return True
 
     def _release(self, task: SearchTask):
+        self._decode_clean = False
         if self.allocator.enable_prefix_cache and task.status == TaskStatus.FINISHED:
             all_tokens = task.input_tokens + task.output_tokens
             self.allocator.register_prefix(all_tokens, task.pages)
@@ -412,9 +417,14 @@ class Scheduler:
                 continue
             c0 = task.total_len  # context at the first window step
             limit = self._task_limit(task)
-            # allocate pages to cover the whole window (partial => the slot
-            # freezes mid-window and resumes next window once pages free up)
-            self._alloc_pages_to(task, min(c0 + K - 1, limit))
+            # allocate pages two windows ahead (partial => the slot freezes
+            # mid-window and resumes next window once pages free up); the
+            # lookahead keeps page_tables stable so consecutive windows can
+            # chain from device-resident state without re-uploading
+            before = len(task.pages)
+            self._alloc_pages_to(task, min(c0 + 2 * K - 1, limit))
+            if len(task.pages) != before:
+                self._decode_clean = False
             cap = len(task.pages) * S
             limit = min(limit, cap)
             if limit < c0:
@@ -430,16 +440,22 @@ class Scheduler:
             return
 
         num_lp = max((t.arg.top_logprobs for t in active), default=0)
+        greedy_only = all(t.arg.sampling_temperature <= 0.0 for t in active)
         tok, lp, toplp, toptok = self.ex.run_decode_multi(
             tokens, page_tables, positions, context_lens, limits,
             self._sampling_params(), K, num_logprobs=num_lp,
             bias=self._bias_arrays(), penalties=self._penalty_arrays(active),
+            greedy_only=greedy_only,
+            reuse_carry=self._decode_clean,
         )
         self.step_index += K
+        self._decode_clean = True
 
         for task in active:
             b = task.slot
             n_valid = min(K, int(limits[b]) - int(context_lens[b]) + 1)
+            if n_valid < K:
+                self._decode_clean = False  # frozen mid-window: host resyncs
             self._append_window(
                 task,
                 tok[:n_valid, b],

@@ -11,8 +11,13 @@ from .engine import ModelExecutor
 from .scheduler import Scheduler
 from .generator import DynamicBatchGenerator
 from .detokenizer import IncrementalDetokenizer
+from .session import SessionGenerator
+from .beam import BeamGroup, BeamResultManager
 
 __all__ = [
+    "SessionGenerator",
+    "BeamGroup",
+    "BeamResultManager",
     "GeneratorArg",
     "GenerativeOutput",
     "RequestResult",

@@ -95,7 +95,7 @@ class BeamGroup:
         for beam_idx, token, lp in candidates:
             parent = self.beams[beam_idx]
             cum = parent.cum_logprob + lp
-            score = cum / float(t + 2)  # lengths include the prefill token
+            score = cum / float(t + 1)  # length-normalized (reference :1806)
             is_eos = token == eos_id
             at_limit = len(parent.output_tokens) + 1 >= max_length
             if is_eos or at_limit:

@@ -370,6 +370,52 @@ class ModelExecutor:
 
         return record
 
+    def _score_fn(self, bucket: int):
+        cfg, rope = self.cfg, self.rope
+
+        @jax.jit
+        def score(params, tokens, meta, cache):
+            logits, _ = llama_mod.forward_score(params, cfg, rope, tokens, meta, cache)
+            return logits
+
+        return score
+
+    def run_score(self, tokens: np.ndarray) -> np.ndarray:
+        """Full-sequence logits for scoring utilities (reference calc_logits /
+        calc_log_prob / calc_loss / calc_greedy_match, llama.h:100-131).
+        Uses a scratch identity-paged cache; does not touch serving state."""
+        from ..kvcache.paged import new_kv_cache as _new_kv, new_latent_cache as _new_lat
+
+        n = int(tokens.shape[0])
+        bucket = self.pick_bucket(n)
+        S = self.page_size
+        maxp = _round_up(bucket, S) // S
+        cfg = self.cfg
+        if cfg.mla.enabled:
+            cache = _new_lat(cfg.num_layers, maxp, S, cfg.mla.latent_dim, cfg.jax_dtype)
+        else:
+            cache = _new_kv(
+                cfg.num_layers, maxp, S, cfg.num_kv_heads, cfg.dim_head, cfg.jax_dtype
+            )
+        tok = np.zeros(bucket, np.int32)
+        tok[:n] = tokens
+        pos = np.zeros(bucket, np.int32)
+        pos[:n] = np.arange(n)
+        slots = np.full(bucket, -1, np.int32)
+        slots[:n] = np.arange(n)
+        pt = np.full(self.max_pages_per_seq, -1, np.int32)
+        pt[:maxp] = np.arange(maxp)
+        meta = PrefillMeta(
+            positions=jnp.asarray(pos),
+            slot_mapping=jnp.asarray(slots),
+            page_table=jnp.asarray(pt),
+            cache_len=jnp.int32(0),
+            q_len=jnp.int32(n),
+        )
+        fn = self._get(("score", bucket), lambda: self._score_fn(bucket))
+        logits = fn(self.params, jnp.asarray(tok), meta, cache)
+        return np.asarray(logits[:n])
+
     # ------------------------------------------------------------------
     # public API used by the scheduler (all take/return numpy at the edges)
     # ------------------------------------------------------------------

@@ -89,11 +89,12 @@ class DynamicBatchGenerator:
         flag, payload = self._wait_final(task, timeout)
         if isinstance(payload, BaseException):
             raise payload
-        out: GenerativeOutput = payload
+        outs = payload if isinstance(payload, list) else [payload]
         if self.tokenizer is not None:
-            out.decode(self.tokenizer)
-            self._apply_stop_strings(out, arg)
-        return RequestResult(prompt=prompt, outputs=[out], input_tokens_num=len(tokens))
+            for out in outs:
+                out.decode(self.tokenizer)
+                self._apply_stop_strings(out, arg)
+        return RequestResult(prompt=prompt, outputs=outs, input_tokens_num=len(tokens))
 
     @staticmethod
     def _apply_stop_strings(out: GenerativeOutput, arg: GeneratorArg):
@@ -145,10 +146,12 @@ class DynamicBatchGenerator:
             _, payload = self._wait_final(t, timeout)
             if isinstance(payload, BaseException):
                 raise payload
+            outs = payload if isinstance(payload, list) else [payload]
             if self.tokenizer is not None:
-                payload.decode(self.tokenizer)
-                self._apply_stop_strings(payload, t.arg)
-            results.append(RequestResult(prompt=p, outputs=[payload], input_tokens_num=t.prompt_len))
+                for out in outs:
+                    out.decode(self.tokenizer)
+                    self._apply_stop_strings(out, t.arg)
+            results.append(RequestResult(prompt=p, outputs=outs, input_tokens_num=t.prompt_len))
         return results
 
     # -- streaming ---------------------------------------------------------

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config.engine_config import SchedulerConfig
 from ..kvcache.allocator import PageAllocator
+from .beam import BeamGroup, BeamHypo
 from ..models.base import DecodeMeta, PrefillMeta
 from ..ops.sampling import SamplingParams
 from .engine import ModelExecutor
@@ -73,6 +74,12 @@ class Scheduler:
         # device-resident decode carry validity: True when the next decode
         # window may chain from device state without re-uploading
         self._decode_clean = False
+        # live beam-search groups keyed by primary task_id
+        self.beam_groups: Dict[int, BeamGroup] = {}
+        # persistent sessions: id -> (tokens, pages, kv_len); pages stay
+        # referenced between turns (reference session support,
+        # batch_generator.cpp:1424-1444,1500-1516 + session_generator.py)
+        self.sessions: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------
     # public API
@@ -107,6 +114,15 @@ class Scheduler:
 
     def queue_size(self) -> int:
         return self.queue.qsize()
+
+    def close_session(self, session_id: str) -> bool:
+        """Release a session's retained KV pages (reference
+        BatchGenerator::close_session)."""
+        sess = self.sessions.pop(session_id, None)
+        if sess is None:
+            return False
+        self.allocator.free_pages(sess[1])
+        return True
 
     def wait_all_done(self, timeout: Optional[float] = None):
         deadline = time.monotonic() + timeout if timeout else None
@@ -175,9 +191,17 @@ class Scheduler:
                 task.status = TaskStatus.CANCELLED
                 task.finish()
                 continue
-            need = task.prompt_len + task.arg.max_length
+            beams = max(task.arg.beam_size, 1)
+            need = (task.prompt_len + task.arg.max_length) * beams
             if need > self.allocator.free_token_capacity():
                 return  # wait for memory
+            if beams > 1:
+                free = [i for i, t in enumerate(self.slots) if t is None]
+                if len(free) < beams:
+                    return  # wait for slots
+                self.queue.get_nowait()
+                self._assign_beam(task, free[:beams])
+                continue
             self.queue.get_nowait()
             self._assign(task, slot)
 
@@ -189,11 +213,31 @@ class Scheduler:
         with self._lock:
             self._active += 1
 
-        # prefix-cache match (reference match rag prefix, :1120-1122)
-        pages, cached = self.allocator.match_prefix(task.input_tokens)
-        task.pages = pages
-        task.cache_len = cached
-        task.prefix_hit_len = cached
+        sid = task.arg.session_id
+        if sid and task.arg.session_continue and sid in self.sessions:
+            # exact session KV reuse; rollback trims to sess_chunk_pos
+            s_tokens, s_pages, s_len = self.sessions.pop(sid)
+            usable = min(s_len, task.prompt_len - 1)
+            if task.arg.sess_chunk_pos:
+                usable = min(usable, task.arg.sess_chunk_pos)
+            S = self.ex.page_size
+            keep = (usable + S - 1) // S
+            task.pages = s_pages[:keep]
+            self.allocator.free_pages(s_pages[keep:])
+            task.cache_len = usable
+            task.prefix_hit_len = usable
+        elif sid:
+            # fresh session: skip prefix sharing so session pages stay private
+            # (rollback rewrites page tails in place)
+            task.pages = []
+            task.cache_len = 0
+            task.prefix_hit_len = 0
+        else:
+            # prefix-cache match (reference match rag prefix, :1120-1122)
+            pages, cached = self.allocator.match_prefix(task.input_tokens)
+            task.pages = pages
+            task.cache_len = cached
+            task.prefix_hit_len = cached
 
         # per-slot sampling params
         a = task.arg
@@ -213,6 +257,33 @@ class Scheduler:
 
         self.ex.record_prompt(slot, task.input_tokens)
         self.prefilling.append(task)
+
+    def _assign_beam(self, task: SearchTask, slots: List[int]):
+        """Admit a beam-search task: the primary occupies slots[0] and
+        prefills; the other hypothesis slots are reserved now so admission
+        accounting stays consistent, and join after the first token
+        (reference beam flow: hypotheses share the prefilled context)."""
+        self._assign(task, slots[0])
+        task._beam_group = None  # set after prefill
+        hypo_tasks = [task]
+        for s in slots[1:]:
+            h = SearchTask(task.input_tokens, task.arg)
+            h.slot = s
+            h.status = TaskStatus.PREFILL  # parked until the group starts
+            h._beam_group = None
+            self.slots[s] = h
+            with self._lock:
+                self._active += 1
+            # hypothesis slots share the primary's sampling params
+            for k in self._sp_host:
+                self._sp_host[k][s] = self._sp_host[k][task.slot]
+            self._sp_dirty = True
+            hypo_tasks.append(h)
+        group = BeamGroup(task, slots)
+        group.hypo_tasks = hypo_tasks
+        for h in hypo_tasks:
+            h._beam_group = group
+        self.beam_groups[task.task_id] = group
 
     def _sampling_params(self) -> SamplingParams:
         if self._sp_dirty or self._sp_device is None:
@@ -286,7 +357,19 @@ class Scheduler:
 
     def _release(self, task: SearchTask):
         self._decode_clean = False
-        if self.allocator.enable_prefix_cache and task.status == TaskStatus.FINISHED:
+        sid = task.arg.session_id
+        if sid and task.status == TaskStatus.FINISHED:
+            # keep the session's KV pages referenced for the next turn
+            old_sess = self.sessions.pop(sid, None)
+            if old_sess is not None:
+                self.allocator.free_pages(old_sess[1])
+            self.sessions[sid] = (
+                task.input_tokens + task.output_tokens,
+                list(task.pages),
+                task.total_len,
+            )
+            task.pages = []
+        elif self.allocator.enable_prefix_cache and task.status == TaskStatus.FINISHED:
             all_tokens = task.input_tokens + task.output_tokens
             self.allocator.register_prefix(all_tokens, task.pages)
         self.allocator.free_pages(task.pages)
@@ -363,13 +446,15 @@ class Scheduler:
             pval[0, : len(items)] = [float(v) for _, v in items]
             pen = (ptok, pval)
 
+        beams = max(task.arg.beam_size, 1)
+        num_lp = task.arg.top_logprobs if beams == 1 else min(2 * beams, 32)
         tok, lp, toplp, toptok = self.ex.run_prefill(
             tokens,
             meta,
             self._sampling_params(),
             task.slot,
             self.step_index,
-            num_logprobs=task.arg.top_logprobs,
+            num_logprobs=num_lp,
             bias=bias,
             penalties=pen,
         )
@@ -378,8 +463,188 @@ class Scheduler:
         task.first_token_ts = time.monotonic()
         self.prefilling.pop(0)
         task.status = TaskStatus.DECODE
-        self._append_token(task, tok, lp, toplp, toptok)
+        if beams > 1:
+            self._init_beam_group(task, toplp, toptok)
+        else:
+            self._append_token(task, tok, lp, toplp, toptok)
         return True
+
+    # ------------------------------------------------------------------
+    # beam search (reference pick_top_k beam flow, batch_generator.cpp:1762+)
+    # ------------------------------------------------------------------
+    def _init_beam_group(self, task: SearchTask, toplp, toptok):
+        """Seed the beam set from the prefill logits (first-token candidates).
+
+        The prompt's full pages are ref-shared across hypotheses; a partial
+        prompt tail page is cloned per hypothesis on device (reference
+        BeamBufferManager buffer sharing / clone_block copy-on-write)."""
+        group = self.beam_groups[task.task_id]
+        # virtual single parent holding the prefilled context
+        group.beams = [
+            BeamHypo(slot=task.slot, pages=task.pages, output_tokens=[], cum_logprob=0.0)
+        ]
+        cands = [(0, int(t), float(l)) for t, l in zip(toptok, toplp)]
+        next_beams = group.plan_update(
+            cands, self.cfg.eos_id, self.cfg.keep_eos, task.arg.max_length,
+            self.cfg.ignore_eos,
+        )
+        if not next_beams or group.should_stop(next_beams):
+            self._finish_beam_group(group)
+            return
+        self._apply_beam_assignment(group, next_beams)
+
+    def _beam_update(self, group: BeamGroup, toplp, toptok):
+        """One decode step's joint top-k beam update (K=1 windows)."""
+        beams = group.beams
+        num_top = min(2 * group.beam_size, 32)
+        cands = []
+        for i, h in enumerate(beams):
+            b = h.slot
+            for t, l in zip(toptok[0, b], toplp[0, b]):
+                cands.append((h.cum_logprob + float(l), i, int(t), float(l)))
+        cands.sort(key=lambda c: -c[0])
+        cands = [(i, t, l) for _, i, t, l in cands[:num_top]]
+        task = group.task
+        next_beams = group.plan_update(
+            cands, self.cfg.eos_id, self.cfg.keep_eos, task.arg.max_length,
+            self.cfg.ignore_eos,
+        )
+        if not next_beams or group.should_stop(next_beams):
+            self._finish_beam_group(group)
+            return
+        self._apply_beam_assignment(group, next_beams)
+
+    def _apply_beam_assignment(self, group: BeamGroup, next_beams):
+        """Materialize the new beam set: assign slots, share/clone KV pages,
+        refresh penalty counts."""
+        self._decode_clean = False
+        S = self.ex.page_size
+        task = group.task
+        old = group.beams
+        slot_to_hypo = {h.slot: h for h in group.hypo_tasks}
+
+        written = task.prompt_len + (len(old[0].output_tokens))
+        # tokens written to cache so far (positions 0..written-1)
+        full_pages = written // S
+        has_partial = written % S != 0
+
+        # slot assignment: a parent's first successor inherits its slot+pages
+        taken = set()
+        plan = []  # (parent_idx, token, cum, slot, inherit)
+        for p_idx, tok, cum in next_beams:
+            s = old[p_idx].slot
+            if s not in taken:
+                plan.append([p_idx, tok, cum, s, True])
+                taken.add(s)
+            else:
+                plan.append([p_idx, tok, cum, None, False])
+        free = [s for s in group.slots if s not in taken]
+        for item in plan:
+            if item[3] is None:
+                item[3] = free.pop()
+
+        src_rows: List[int] = []
+        dst_rows: List[int] = []
+        new_hypos: List[BeamHypo] = []
+        inherited_parents = {item[0] for item in plan if item[4]}
+        for p_idx, tok, cum, slot, inherit in plan:
+            parent = old[p_idx]
+            if inherit:
+                pages = parent.pages  # take ownership of the same refs
+            else:
+                pages = []
+                for pg in parent.pages[:full_pages]:
+                    self.allocator.ref_page(pg)
+                    pages.append(pg)
+                if has_partial and full_pages < len(parent.pages):
+                    np_pg = self.allocator.alloc_page()
+                    if np_pg is None:
+                        # page pressure: drop this candidate (narrower beam)
+                        for pg in pages:
+                            self.allocator.free_page(pg)
+                        continue
+                    src_pg = parent.pages[full_pages]
+                    for j in range(S):
+                        src_rows.append(src_pg * S + j)
+                        dst_rows.append(np_pg * S + j)
+                    pages.append(np_pg)
+            lp = cum - parent.cum_logprob
+            new_hypos.append(
+                BeamHypo(
+                    slot=slot,
+                    pages=pages,
+                    output_tokens=parent.output_tokens + [tok],
+                    cum_logprob=cum,
+                    logprobs=parent.logprobs + [lp],
+                )
+            )
+        # release pages of parents with no inheritor
+        for i, h in enumerate(old):
+            if i not in inherited_parents:
+                self.allocator.free_pages(h.pages)
+
+        if src_rows:
+            self.ex.copy_slots(np.asarray(src_rows), np.asarray(dst_rows))
+
+        # sync hypo tasks (drive the decode loop) + penalty counts
+        active_slots = set()
+        for h in new_hypos:
+            ht = slot_to_hypo[h.slot]
+            ht.output_tokens = list(h.output_tokens)
+            ht.pages = h.pages
+            ht.cumulative_logprob = h.cum_logprob
+            ht.status = TaskStatus.DECODE
+            active_slots.add(h.slot)
+            self.ex.record_prompt(h.slot, task.input_tokens + h.output_tokens)
+        for s in group.slots:
+            if s not in active_slots:
+                ht = slot_to_hypo[s]
+                ht.pages = []
+                ht.status = TaskStatus.PREFILL  # parked
+        group.beams = new_hypos
+
+        # stream best hypothesis incrementally (reference update_stream)
+        if task.stream and new_hypos:
+            best = max(new_hypos, key=lambda h: h.cum_logprob)
+            task.emit_stream([best.output_tokens[-1]])
+
+    def _finish_beam_group(self, group: BeamGroup):
+        """Emit the top num_results hypotheses and release all resources."""
+        from .task import GenerativeOutput
+
+        task = group.task
+        # if the result manager isn't full, top up with live beams
+        for h in sorted(group.beams, key=lambda h: -h.cum_logprob):
+            if group.results.full:
+                break
+            score = h.cum_logprob / max(len(h.output_tokens), 1)
+            group.results.add(list(h.output_tokens), h.cum_logprob, score)
+        elapsed = time.monotonic() - task.begin_ts
+        first_delay = (task.first_token_ts - task.begin_ts) if task.first_token_ts else 0.0
+        outs = [
+            GenerativeOutput(
+                token_ids=tokens,
+                score=score,
+                time_elapsed=elapsed,
+                first_token_delay=first_delay,
+                finish_reason="stop",
+            )
+            for score, cum, tokens, _ in group.results.best()
+        ]
+        # release live beams' pages and every group slot
+        for h in group.beams:
+            self.allocator.free_pages(h.pages)
+        for s in group.slots:
+            ht = self.slots[s]
+            if ht is not None:
+                ht.pages = []
+                self.slots[s] = None
+                with self._lock:
+                    self._active -= 1
+        del self.beam_groups[task.task_id]
+        self._decode_clean = False
+        task.finish_multi(outs)
+        self._wake.set()
 
     # ------------------------------------------------------------------
     # decode (reference fill_search_tokens + join_forward + sampling)
@@ -397,11 +662,13 @@ class Scheduler:
         B = self.max_batch
         S = self.ex.page_size
         K = self.ex.decode_window
-        # ngram penalties depend on the evolving sequence, so they are
-        # recomputed on host every token: force single-step windows
-        # (mirrors the reference applying them in the scheduler loop)
+        # ngram penalties depend on the evolving sequence and beam reorders
+        # are host-side, so both force single-step windows (mirrors the
+        # reference applying them in the scheduler loop)
         if any(
-            t is not None and t.status == TaskStatus.DECODE and t.arg.ngram_penalty > 1.0
+            t is not None
+            and t.status == TaskStatus.DECODE
+            and (t.arg.ngram_penalty > 1.0 or getattr(t, "_beam_group", None) is not None)
             for t in self.slots
         ):
             K = 1
@@ -439,7 +706,15 @@ class Scheduler:
         if not active:
             return
 
-        num_lp = max((t.arg.top_logprobs for t in active), default=0)
+        num_lp = max(
+            (
+                min(2 * t.arg.beam_size, 32)
+                if getattr(t, "_beam_group", None) is not None
+                else t.arg.top_logprobs
+                for t in active
+            ),
+            default=0,
+        )
         greedy_only = all(t.arg.sampling_temperature <= 0.0 for t in active)
         tok, lp, toplp, toptok = self.ex.run_decode_multi(
             tokens, page_tables, positions, context_lens, limits,
@@ -451,7 +726,23 @@ class Scheduler:
         self.step_index += K
         self._decode_clean = True
 
+        handled_groups = set()
+        active_slots = {t.slot for t in active}
         for task in active:
+            group = getattr(task, "_beam_group", None)
+            if group is not None:
+                if id(group) in handled_groups:
+                    continue
+                handled_groups.add(id(group))
+                if group.task.cancelled:
+                    group.task.finish_reason = group.task.finish_reason or "abort"
+                    self._finish_beam_group(group)
+                    continue
+                if not all(h.slot in active_slots for h in group.beams):
+                    self._decode_clean = False  # starved beam: retry next loop
+                    continue
+                self._beam_update(group, toplp, toptok)
+                continue
             b = task.slot
             n_valid = min(K, int(limits[b]) - int(context_lens[b]) + 1)
             if n_valid < K:

@@ -163,6 +163,12 @@ class SearchTask:
         self.end_ts = time.monotonic()
         self.res_queue.put((StreamResultType.Final, self.to_output()))
 
+    def finish_multi(self, outputs: List["GenerativeOutput"]):
+        """Finish with multiple hypotheses (beam search / num_results > 1)."""
+        self.status = TaskStatus.FINISHED
+        self.end_ts = time.monotonic()
+        self.res_queue.put((StreamResultType.Final, outputs))
+
     def fail(self, err: BaseException):
         self.status = TaskStatus.FAILED
         self.error = err

@@ -74,3 +74,58 @@ class LLM:
 
     def generator(self) -> DynamicBatchGenerator:
         return DynamicBatchGenerator(self)
+
+    # ------------------------------------------------------------------
+    # scoring utilities (reference LLaMA::calc_* APIs, src/model/llama.h:100-131
+    # and the zhilight.LLaMA Python surface exercised by tests/test_log_prob.py)
+    # ------------------------------------------------------------------
+    def _encode_ids(self, tokens):
+        if isinstance(tokens, str):
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer for string input")
+            tokens = self.tokenizer.encode(tokens)
+        import numpy as np
+
+        return np.asarray(list(tokens), dtype=np.int32)
+
+    def calc_logits(self, tokens):
+        """Per-position vocab logits [T, vocab] (fp32 numpy)."""
+        return self.executor.run_score(self._encode_ids(tokens))
+
+    def calc_log_prob(self, tokens, labels=None):
+        """(total_logprob, per_position list): log p(labels[i] | tokens[:i+1]).
+
+        With default labels (next-token), position i scores tokens[i+1]."""
+        import numpy as np
+
+        ids = self._encode_ids(tokens)
+        logits = self.executor.run_score(ids)
+        logp = logits - np.log(np.sum(np.exp(logits - logits.max(-1, keepdims=True)), -1, keepdims=True)) - logits.max(-1, keepdims=True)
+        if labels is None:
+            lab = ids[1:]
+            rows = logp[:-1]
+        else:
+            lab = np.asarray(list(labels), dtype=np.int32)
+            rows = logp[: len(lab)]
+        per = rows[np.arange(len(lab)), lab]
+        return float(per.sum()), per.tolist()
+
+    def calc_loss(self, tokens, labels=None) -> float:
+        """Mean next-token cross-entropy (reference calc_loss)."""
+        total, per = self.calc_log_prob(tokens, labels)
+        return float(-total / max(len(per), 1))
+
+    def calc_greedy_match(self, tokens, labels=None) -> int:
+        """Count of positions where argmax(logits) == label
+        (reference calc_greedy_match)."""
+        import numpy as np
+
+        ids = self._encode_ids(tokens)
+        logits = self.executor.run_score(ids)
+        if labels is None:
+            lab = ids[1:]
+            rows = logits[:-1]
+        else:
+            lab = np.asarray(list(labels), dtype=np.int32)
+            rows = logits[: len(lab)]
+        return int(np.sum(np.argmax(rows, axis=-1) == lab))

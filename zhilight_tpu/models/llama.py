@@ -283,6 +283,23 @@ def forward_prefill(
     return logits, cache
 
 
+def forward_score(
+    params: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    tokens: jax.Array,  # [T]
+    meta: PrefillMeta,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Full-sequence logits [T, vocab] (reference calc_logits path,
+    src/model/llama.h:100-131 — scoring utilities run the encoder and keep
+    every position's logits rather than just the last)."""
+    hidden, cache = backbone(
+        params, cfg, rope, tokens, meta.positions, cache, meta, "prefill"
+    )
+    return get_logits(params, cfg, hidden), cache
+
+
 def forward_decode(
     params: Params,
     cfg: ModelConfig,

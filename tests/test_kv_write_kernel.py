@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from zhilight_tpu.ops.pallas.kv_write import paged_write_rows, paged_write_rows_single
+from zhilight_tpu.ops.pallas.kv_write import paged_write_rows
 
 
 def _ref_scatter(cache, rows, slots):
@@ -40,26 +40,6 @@ def test_write_rows_matches_scatter(T, desc):
     wv = _ref_scatter(v_cache, v_rows, slots)
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
-
-
-@pytest.mark.parametrize("T", [8, 64])
-def test_write_rows_single_latent(T):
-    S, N, L = 16, 256, 128
-    rng = np.random.RandomState(1)
-    cache = jnp.asarray(rng.randn(N, L), jnp.float32)
-    rows = jnp.asarray(rng.randn(T, L), jnp.float32)
-    slots = np.full(T, -1, np.int32)
-    if T == 8:
-        slots[:6] = rng.choice(N, size=6, replace=False)
-    else:
-        pages = rng.choice(N // S, size=T // S, replace=False)
-        for i in range(T - 3):
-            slots[i] = pages[i // S] * S + i % S
-    slots = jnp.asarray(slots)
-
-    got = paged_write_rows_single(cache, rows, slots, S, interpret=True)
-    want = _ref_scatter(cache, rows, slots)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 @pytest.mark.parametrize("T,X", [(8, 2304), (64, 2304), (8, 576), (64, 576), (48, 36)])

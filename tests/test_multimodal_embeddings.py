@@ -1,0 +1,61 @@
+"""input_embeddings injection (reference SearchTask.input_embeddings path for
+DeepSeek-VL2, zhilight/models/deepseek_vl_v2.py:63-136): feeding the model's
+own token-embedding rows must reproduce the token-input generation exactly,
+including through chunked prefill."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zhilight_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+from zhilight_tpu.engine import DynamicBatchGenerator, GeneratorArg
+from zhilight_tpu.llm import LLM
+from zhilight_tpu.models import llama as L
+
+VOCAB = 64
+EOS = 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        model_type="llama", num_layers=2, dim_model=32, num_heads=4, dim_head=8,
+        num_kv_heads=2, dim_ff=64, vocab_size=VOCAB, dtype="float32",
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=4, num_pages=64),
+        scheduler=SchedulerConfig(max_batch=4, chunk_size=8, prefill_buckets=(8, 16, 32), eos_id=EOS),
+    )
+    return cfg, params, LLM(model_config=cfg, params=params, engine_config=ecfg)
+
+
+def test_embeddings_match_tokens(setup):
+    cfg, params, llm = setup
+    rng = np.random.RandomState(9)
+    prompt = list(rng.randint(2, VOCAB, size=11))  # > chunk_size: chunked path
+    emb_table = np.asarray(params["embedding"]["w"], np.float32)
+    emb = emb_table[np.asarray(prompt)] * cfg.scale_emb
+
+    with DynamicBatchGenerator(llm) as gen:
+        want = gen.generate(prompt, GeneratorArg(max_length=6)).outputs[0].token_ids
+        got = gen.generate(
+            prompt, GeneratorArg(max_length=6), input_embeddings=emb
+        ).outputs[0].token_ids
+    assert got == want
+
+
+def test_custom_position_ids(setup):
+    cfg, params, llm = setup
+    rng = np.random.RandomState(10)
+    prompt = list(rng.randint(2, VOCAB, size=6))
+    with DynamicBatchGenerator(llm) as gen:
+        base = gen.generate(prompt, GeneratorArg(max_length=4)).outputs[0].token_ids
+        same = gen.generate(
+            prompt, GeneratorArg(max_length=4),
+            position_ids=np.arange(len(prompt), dtype=np.int32),
+        ).outputs[0].token_ids
+    assert same == base

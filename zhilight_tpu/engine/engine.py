@@ -193,21 +193,23 @@ class ModelExecutor:
             self._compiled[key] = fn
         return fn
 
-    def _chunk_step_fn(self, bucket: int):
+    def _chunk_step_fn(self, bucket: int, with_emb: bool = False):
         cfg, rope = self.cfg, self.rope
 
         @functools.partial(
             jax.jit, donate_argnums=(2,), out_shardings=self._cache_fmt
         )
-        def chunk_step(params, tokens, cache, meta):
+        def chunk_step(params, tokens, cache, meta, emb):
             _, cache = llama_mod.backbone(
-                params, cfg, rope, tokens, meta.positions, cache, meta, "prefill"
+                params, cfg, rope, tokens, meta.positions, cache, meta, "prefill",
+                input_embeddings=emb if with_emb else None,
             )
             return cache
 
         return chunk_step
 
-    def _prefill_step_fn(self, bucket: int, num_logprobs: int, nb: int, np_: int):
+    def _prefill_step_fn(self, bucket: int, num_logprobs: int, nb: int, np_: int,
+                         with_emb: bool = False):
         cfg, rope = self.cfg, self.rope
 
         rep = self._rep
@@ -218,8 +220,11 @@ class ModelExecutor:
             out_shardings=(rep, rep, rep, rep, self._cache_fmt, self._state_fmt),
         )
         def prefill_step(params, tokens, cache, sampler_state, meta, sparams, slot, key,
-                         bias_tok, bias_val, pen_tok, pen_val):
-            logits, cache = llama_mod.forward_prefill(params, cfg, rope, tokens, meta, cache)
+                         bias_tok, bias_val, pen_tok, pen_val, emb):
+            logits, cache = llama_mod.forward_prefill(
+                params, cfg, rope, tokens, meta, cache,
+                input_embeddings=emb if with_emb else None,
+            )
             # sample the first token for this slot only
             row = logits[None].astype(jnp.float32)  # [1, V]
             sl = jax.tree.map(lambda a: a[slot][None], sparams)
@@ -432,10 +437,25 @@ class ModelExecutor:
         padded[: len(tokens)] = tokens
         self.sampler_state = fn(self.sampler_state, jnp.int32(slot), jnp.asarray(padded))
 
-    def run_chunk(self, tokens: np.ndarray, meta: PrefillMeta):
+    def _emb_arg(self, embeddings: Optional[np.ndarray], bucket: int):
+        if embeddings is None:
+            cached = self._compiled.get(("empty_emb", bucket))
+            if cached is None:
+                cached = jnp.zeros((bucket, self.cfg.dim_model), self.cfg.jax_dtype)
+                self._compiled[("empty_emb", bucket)] = cached
+            return cached, False
+        pad = np.zeros((bucket, self.cfg.dim_model), np.float32)
+        pad[: embeddings.shape[0]] = embeddings
+        return jnp.asarray(pad, self.cfg.jax_dtype), True
+
+    def run_chunk(self, tokens: np.ndarray, meta: PrefillMeta,
+                  embeddings: Optional[np.ndarray] = None):
         bucket = tokens.shape[0]
-        fn = self._get(("chunk", bucket), lambda: self._chunk_step_fn(bucket))
-        self.cache = fn(self.params, jnp.asarray(tokens), self.cache, meta)
+        emb, with_emb = self._emb_arg(embeddings, bucket)
+        fn = self._get(
+            ("chunk", bucket, with_emb), lambda: self._chunk_step_fn(bucket, with_emb)
+        )
+        self.cache = fn(self.params, jnp.asarray(tokens), self.cache, meta, emb)
 
     def _pair(self, arr_tok, arr_val, rows: int):
         """Normalize optional (tokens, values) host arrays to device arrays."""
@@ -457,13 +477,15 @@ class ModelExecutor:
         num_logprobs: int = 0,
         bias: Optional[Tuple[np.ndarray, np.ndarray]] = None,      # ([1,NB] tok, [1,NB] val)
         penalties: Optional[Tuple[np.ndarray, np.ndarray]] = None,  # ([1,NP] tok, [1,NP] val)
+        embeddings: Optional[np.ndarray] = None,  # [n, dim] multimodal override
     ):
         bucket = tokens.shape[0]
         bias_tok, bias_val, nb = self._pair(*(bias or (None, None)), rows=1)
         pen_tok, pen_val, np_ = self._pair(*(penalties or (None, None)), rows=1)
+        emb, with_emb = self._emb_arg(embeddings, bucket)
         fn = self._get(
-            ("prefill", bucket, num_logprobs, nb, np_),
-            lambda: self._prefill_step_fn(bucket, num_logprobs, nb, np_),
+            ("prefill", bucket, num_logprobs, nb, np_, with_emb),
+            lambda: self._prefill_step_fn(bucket, num_logprobs, nb, np_, with_emb),
         )
         key = self.base_key  # per-slot determinism comes from (seed, step) fold-in
         tok, lp, toplp, toptok, self.cache, self.sampler_state = fn(
@@ -479,6 +501,7 @@ class ModelExecutor:
             bias_val,
             pen_tok,
             pen_val,
+            emb,
         )
         return int(tok), float(lp), np.asarray(toplp), np.asarray(toptok)
 

@@ -81,10 +81,14 @@ class DynamicBatchGenerator:
         prompt: Prompt,
         arg: Optional[GeneratorArg] = None,
         timeout: Optional[float] = None,
+        input_embeddings: Optional[np.ndarray] = None,  # [T, dim] multimodal
+        position_ids: Optional[np.ndarray] = None,
     ) -> RequestResult:
         arg = arg or GeneratorArg()
         tokens = self._encode(prompt)
-        task = SearchTask(tokens, arg)
+        task = SearchTask(
+            tokens, arg, input_embeddings=input_embeddings, position_ids=position_ids
+        )
         self.scheduler.submit(task)
         flag, payload = self._wait_final(task, timeout)
         if isinstance(payload, BaseException):

@@ -51,7 +51,16 @@ def ngram_penalty_map(
     all_tokens: Sequence[int], ngram_penalty: float, repetition_penalty: float
 ) -> Dict[int, float]:
     """Combined ngram x repetition multiplicative map for one sequence
-    (reference apply_beam_repetition_penalty: value = ngram_map[t] * rep)."""
+    (reference apply_beam_repetition_penalty: value = ngram_map[t] * rep).
+    Uses the C++ implementation (csrc/native.cpp) when built."""
+    try:
+        from ..native import native_ngram_penalty_map
+
+        m = native_ngram_penalty_map(all_tokens, ngram_penalty, repetition_penalty)
+        if m is not None:
+            return m
+    except Exception:
+        pass
     rev = list(all_tokens)[::-1]
     m = calc_repetition_ngram(rev, ngram_penalty)
     return {t: v * repetition_penalty for t, v in m.items()}

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.engine_config import SchedulerConfig
-from ..kvcache.allocator import PageAllocator
+from ..kvcache.allocator import make_page_allocator
 from .beam import BeamGroup, BeamHypo
 from ..models.base import DecodeMeta, PrefillMeta
 from ..ops.sampling import SamplingParams
@@ -43,7 +43,7 @@ class Scheduler:
         self.ex = executor
         self.cfg: SchedulerConfig = executor.sched_cfg
         self.queue: "queue.Queue[SearchTask]" = queue.Queue(maxsize=self.cfg.max_queue_size)
-        self.allocator = PageAllocator(
+        self.allocator = make_page_allocator(
             executor.num_pages,
             executor.page_size,
             enable_prefix_cache=executor.cache_cfg.enable_prefix_caching,
@@ -402,7 +402,15 @@ class Scheduler:
         tokens = np.zeros(bucket, np.int32)
         tokens[:chunk] = task.input_tokens[start : start + chunk]
         positions = np.zeros(bucket, np.int32)
-        positions[:chunk] = np.arange(start, start + chunk)
+        if task.position_ids is not None:
+            # multimodal custom positions (reference SearchTask.position_ids,
+            # e.g. DeepSeek-VL2 image token layout)
+            positions[:chunk] = task.position_ids[start : start + chunk]
+        else:
+            positions[:chunk] = np.arange(start, start + chunk)
+        emb_chunk = None
+        if task.input_embeddings is not None:
+            emb_chunk = np.asarray(task.input_embeddings[start : start + chunk], np.float32)
         slot_map = np.full(bucket, -1, np.int32)
         for i in range(chunk):
             pos = start + i
@@ -419,7 +427,7 @@ class Scheduler:
         )
 
         if not is_last:
-            self.ex.run_chunk(tokens, meta)
+            self.ex.run_chunk(tokens, meta, embeddings=emb_chunk)
             task.cache_len += chunk
             self.step_index += 1
             return True
@@ -457,6 +465,7 @@ class Scheduler:
             num_logprobs=num_lp,
             bias=bias,
             penalties=pen,
+            embeddings=emb_chunk,
         )
         self.step_index += 1
         task.cache_len = task.prompt_len

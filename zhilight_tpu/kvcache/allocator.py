@@ -14,7 +14,24 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
-__all__ = ["PageAllocator"]
+__all__ = ["PageAllocator", "make_page_allocator"]
+
+
+def make_page_allocator(num_pages: int, page_size: int, enable_prefix_cache: bool = False):
+    """Factory: the C++ allocator (csrc/native.cpp) when built, else the
+    pure-Python implementation below. Both expose the same surface; tests
+    assert behavioral parity."""
+    import os
+
+    if os.environ.get("ZT_NO_NATIVE") != "1":
+        try:
+            from ..native import NativePageAllocator, load
+
+            if load() is not None:
+                return NativePageAllocator(num_pages, page_size, enable_prefix_cache)
+        except Exception:
+            pass
+    return PageAllocator(num_pages, page_size, enable_prefix_cache)
 
 
 def _chunk_key(prev_key: int, tokens: Tuple[int, ...]) -> int:
@@ -59,6 +76,10 @@ class PageAllocator:
 
     def free_token_capacity(self) -> int:
         return self.num_free * self.page_size
+
+    @property
+    def num_cached(self) -> int:
+        return len(self._prefix_index)
 
     # -- core alloc/free --------------------------------------------------
     def _evict_one(self) -> bool:

@@ -26,11 +26,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["paged_write_rows", "paged_write_rows_single", "write_rows_2d", "write_rows_2d_pair"]
+__all__ = ["paged_write_rows", "write_rows_2d", "write_rows_2d_pair"]
 
 
 def _decode_kernel(slots_ref, rows_k, rows_v, k_in, v_in, k_out, v_out, sems, *, T):
-    """Per-row DMAs; k_in/v_in are aliased to k_out/v_out."""
+    """Per-row DMAs, rows staged in VMEM: Mosaic rejects dynamic-offset
+    HBM->HBM copies (compiler crash, probed on v5e), but dynamic offsets are
+    fine when the source is VMEM. k_in/v_in are aliased to k_out/v_out."""
     del k_in, v_in
     for t in range(T):
         slot = slots_ref[t]
@@ -50,65 +52,80 @@ def _decode_kernel(slots_ref, rows_k, rows_v, k_in, v_in, k_out, v_out, sems, *,
 
 
 def _prefill_kernel(
-    slots_ref, rows_k, rows_v, k_in, v_in, k_out, v_out, sems, tail_sems, *, T, S
+    slots_ref, rows_k, rows_v, k_in, v_in, k_out, v_out, bufk, bufv, sems, row_sems, *, T, S
 ):
-    """Page-run DMAs + per-row tail. Page i (rows i*S..i*S+S-1) is fully
-    covered iff its last row is valid; rows start page-aligned."""
+    """Page-run writes staged through VMEM double buffers (dynamic-offset
+    HBM->HBM DMAs crash Mosaic): rows(HBM, static page offset) -> VMEM ->
+    cache(HBM, dynamic offset). Partially-valid pages write their valid rows
+    individually from VMEM (row DMAs are tile-aligned on this path)."""
     del k_in, v_in
     n_pages = T // S
 
-    def page_valid(i):
-        return jnp.logical_and(slots_ref[i * S] >= 0, slots_ref[i * S + S - 1] >= 0)
+    def first(i):
+        return slots_ref[i * S]
+
+    def valid(i):
+        return first(i) >= 0
+
+    def full(i):
+        return jnp.logical_and(valid(i), slots_ref[i * S + S - 1] >= 0)
+
+    def start_read(i, slot):
+        pltpu.make_async_copy(rows_k.at[pl.ds(i * S, S)], bufk.at[slot], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(rows_v.at[pl.ds(i * S, S)], bufv.at[slot], sems.at[slot, 1]).start()
+
+    @pl.when(valid(0))
+    def _():
+        start_read(0, 0)
 
     for i in range(n_pages):
-        @pl.when(page_valid(i))
+        slot = i % 2
+        nxt = (i + 1) % 2
+        if i + 1 < n_pages:
+            @pl.when(valid(i + 1))
+            def _():
+                start_read(i + 1, nxt)
+
+        @pl.when(valid(i))
         def _():
-            dst = slots_ref[i * S]
             pltpu.make_async_copy(
-                rows_k.at[pl.ds(i * S, S)], k_out.at[pl.ds(dst, S)], sems.at[i, 0]
-            ).start()
-            pltpu.make_async_copy(
-                rows_v.at[pl.ds(i * S, S)], v_out.at[pl.ds(dst, S)], sems.at[i, 1]
-            ).start()
-
-        # partial page: per-row DMAs for valid rows of an invalid page
-        @pl.when(jnp.logical_not(page_valid(i)))
-        def _():
-            for j in range(S):
-                t = i * S + j
-
-                @pl.when(slots_ref[t] >= 0)
-                def _():
-                    slot = slots_ref[t]
-                    pltpu.make_async_copy(
-                        rows_k.at[t], k_out.at[slot], tail_sems.at[j, 0]
-                    ).start()
-                    pltpu.make_async_copy(
-                        rows_v.at[t], v_out.at[slot], tail_sems.at[j, 1]
-                    ).start()
-            for j in range(S):
-                t = i * S + j
-
-                @pl.when(slots_ref[t] >= 0)
-                def _():
-                    slot = slots_ref[t]
-                    pltpu.make_async_copy(
-                        rows_k.at[t], k_out.at[slot], tail_sems.at[j, 0]
-                    ).wait()
-                    pltpu.make_async_copy(
-                        rows_v.at[t], v_out.at[slot], tail_sems.at[j, 1]
-                    ).wait()
-
-    for i in range(n_pages):
-        @pl.when(page_valid(i))
-        def _():
-            dst = slots_ref[i * S]
-            pltpu.make_async_copy(
-                rows_k.at[pl.ds(i * S, S)], k_out.at[pl.ds(dst, S)], sems.at[i, 0]
+                rows_k.at[pl.ds(i * S, S)], bufk.at[slot], sems.at[slot, 0]
             ).wait()
             pltpu.make_async_copy(
-                rows_v.at[pl.ds(i * S, S)], v_out.at[pl.ds(dst, S)], sems.at[i, 1]
+                rows_v.at[pl.ds(i * S, S)], bufv.at[slot], sems.at[slot, 1]
             ).wait()
+            dst = first(i)
+
+            @pl.when(full(i))
+            def _():
+                pltpu.make_async_copy(
+                    bufk.at[slot], k_out.at[pl.ds(dst, S)], sems.at[slot, 0]
+                ).start()
+                pltpu.make_async_copy(
+                    bufv.at[slot], v_out.at[pl.ds(dst, S)], sems.at[slot, 1]
+                ).start()
+                pltpu.make_async_copy(
+                    bufk.at[slot], k_out.at[pl.ds(dst, S)], sems.at[slot, 0]
+                ).wait()
+                pltpu.make_async_copy(
+                    bufv.at[slot], v_out.at[pl.ds(dst, S)], sems.at[slot, 1]
+                ).wait()
+
+            @pl.when(jnp.logical_not(full(i)))
+            def _():
+                # partial page: per-row writes of the valid prefix
+                for j in range(S):
+                    @pl.when(slots_ref[i * S + j] >= 0)
+                    def _():
+                        s = slots_ref[i * S + j]
+                        pltpu.make_async_copy(bufk.at[slot, j], k_out.at[s], row_sems.at[j, 0]).start()
+                        pltpu.make_async_copy(bufv.at[slot, j], v_out.at[s], row_sems.at[j, 1]).start()
+                for j in range(S):
+                    @pl.when(slots_ref[i * S + j] >= 0)
+                    def _():
+                        s = slots_ref[i * S + j]
+                        pltpu.make_async_copy(bufk.at[slot, j], k_out.at[s], row_sems.at[j, 0]).wait()
+                        pltpu.make_async_copy(bufv.at[slot, j], v_out.at[s], row_sems.at[j, 1]).wait()
 
 
 def paged_write_rows(
@@ -126,28 +143,34 @@ def paged_write_rows(
     k_rows = k_rows.astype(k_cache.dtype)
     v_rows = v_rows.astype(v_cache.dtype)
 
+    HBM = pltpu.MemorySpace.HBM
+    H, D = k_rows.shape[1], k_rows.shape[2]
     if T >= 2 * S and T % S == 0:
         kernel = functools.partial(_prefill_kernel, T=T, S=S)
+        rows_space = HBM
         scratch = [
-            pltpu.SemaphoreType.DMA((T // S, 2)),
+            pltpu.VMEM((2, S, H, D), k_cache.dtype),
+            pltpu.VMEM((2, S, H, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((S, 2)),
         ]
     else:
         kernel = functools.partial(_decode_kernel, T=T)
+        rows_space = pltpu.VMEM  # dynamic-offset writes need a VMEM source
         scratch = [pltpu.SemaphoreType.DMA((T, 2))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # k rows
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # v rows
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # k cache (aliased)
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # v cache (aliased)
+            pl.BlockSpec(memory_space=rows_space),  # k rows
+            pl.BlockSpec(memory_space=rows_space),  # v rows
+            pl.BlockSpec(memory_space=HBM),  # k cache (aliased)
+            pl.BlockSpec(memory_space=HBM),  # v cache (aliased)
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=HBM),
+            pl.BlockSpec(memory_space=HBM),
         ),
         scratch_shapes=scratch,
     )
@@ -164,97 +187,6 @@ def paged_write_rows(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(slot_mapping, k_rows, v_rows, k_cache, v_cache)
-
-
-def _decode_kernel_1(slots_ref, rows, c_in, c_out, sems, *, T):
-    del c_in
-    for t in range(T):
-        @pl.when(slots_ref[t] >= 0)
-        def _():
-            pltpu.make_async_copy(rows.at[t], c_out.at[slots_ref[t]], sems.at[t]).start()
-    for t in range(T):
-        @pl.when(slots_ref[t] >= 0)
-        def _():
-            pltpu.make_async_copy(rows.at[t], c_out.at[slots_ref[t]], sems.at[t]).wait()
-
-
-def _prefill_kernel_1(slots_ref, rows, c_in, c_out, sems, tail_sems, *, T, S):
-    del c_in
-    n_pages = T // S
-
-    def page_valid(i):
-        return jnp.logical_and(slots_ref[i * S] >= 0, slots_ref[i * S + S - 1] >= 0)
-
-    for i in range(n_pages):
-        @pl.when(page_valid(i))
-        def _():
-            dst = slots_ref[i * S]
-            pltpu.make_async_copy(
-                rows.at[pl.ds(i * S, S)], c_out.at[pl.ds(dst, S)], sems.at[i]
-            ).start()
-
-        @pl.when(jnp.logical_not(page_valid(i)))
-        def _():
-            for j in range(S):
-                t = i * S + j
-
-                @pl.when(slots_ref[t] >= 0)
-                def _():
-                    pltpu.make_async_copy(
-                        rows.at[t], c_out.at[slots_ref[t]], tail_sems.at[j]
-                    ).start()
-            for j in range(S):
-                t = i * S + j
-
-                @pl.when(slots_ref[t] >= 0)
-                def _():
-                    pltpu.make_async_copy(
-                        rows.at[t], c_out.at[slots_ref[t]], tail_sems.at[j]
-                    ).wait()
-
-    for i in range(n_pages):
-        @pl.when(page_valid(i))
-        def _():
-            dst = slots_ref[i * S]
-            pltpu.make_async_copy(
-                rows.at[pl.ds(i * S, S)], c_out.at[pl.ds(dst, S)], sems.at[i]
-            ).wait()
-
-
-def paged_write_rows_single(
-    cache: jax.Array,  # [N_slots, ...] (MLA latent pool)
-    rows: jax.Array,  # [T, ...]
-    slot_mapping: jax.Array,
-    page_size: int,
-    interpret: bool = False,
-) -> jax.Array:
-    T, S = rows.shape[0], page_size
-    rows = rows.astype(cache.dtype)
-    if T >= 2 * S and T % S == 0:
-        kernel = functools.partial(_prefill_kernel_1, T=T, S=S)
-        scratch = [pltpu.SemaphoreType.DMA((T // S,)), pltpu.SemaphoreType.DMA((S,))]
-    else:
-        kernel = functools.partial(_decode_kernel_1, T=T)
-        scratch = [pltpu.SemaphoreType.DMA((T,))]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        scratch_shapes=scratch,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
-        input_output_aliases={2: 0},  # slots=0, rows=1, cache=2
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(slot_mapping, rows, cache)
 
 
 # ---------------------------------------------------------------------------
@@ -309,50 +241,73 @@ def _rmw_decode_kernel_2d(slots_ref, rows, c_in, c_out, pages, sems, *, T, S):
 def _page_write_kernel_2d(
     slots_ref, rows, c_in, c_out, page_buf, row_buf, sems, psem, *, T, S
 ):
-    """Page-run writes; rows [T, X] stays in HBM (ANY). Full pages stream
-    rows->cache directly; a partially-valid page merges in VMEM."""
+    """Page-run writes staged through VMEM double buffers.
+
+    Mosaic rejects dynamic-offset HBM->HBM DMAs (compiler crash, probed on
+    v5e), so each page goes rows(HBM, static offset) -> VMEM -> cache(HBM,
+    dynamic offset); dynamic offsets are fine when one side is VMEM. A
+    partially-valid page first reads the existing page content and merges."""
     del c_in
     n_pages = T // S
 
     def first(i):
         return slots_ref[i * S]
 
+    def dst_of(i):
+        # page-aligned by contract; the //S*S form lets Mosaic prove the
+        # dynamic sublane offset is tile-aligned (raw scalars crash the
+        # compiler on 2-D dynamic slices)
+        return (first(i) // S) * S
+
+    def valid(i):
+        return first(i) >= 0
+
     def full(i):
-        return jnp.logical_and(first(i) >= 0, slots_ref[i * S + S - 1] >= 0)
+        return jnp.logical_and(valid(i), slots_ref[i * S + S - 1] >= 0)
 
-    def partial(i):
-        return jnp.logical_and(first(i) >= 0, slots_ref[i * S + S - 1] < 0)
+    # prefetch page 0's rows
+    @pl.when(valid(0))
+    def _():
+        pltpu.make_async_copy(rows.at[pl.ds(0, S)], row_buf.at[0], sems.at[0]).start()
 
     for i in range(n_pages):
-        @pl.when(full(i))
+        slot = i % 2
+        nxt = (i + 1) % 2
+        if i + 1 < n_pages:
+            @pl.when(valid(i + 1))
+            def _():
+                pltpu.make_async_copy(
+                    rows.at[pl.ds((i + 1) * S, S)], row_buf.at[nxt], sems.at[nxt]
+                ).start()
+
+        @pl.when(valid(i))
         def _():
+            dst = dst_of(i)
+            # partial page: merge with existing content read via VMEM
+            @pl.when(jnp.logical_not(full(i)))
+            def _():
+                pltpu.make_async_copy(c_out.at[pl.ds(dst, S)], page_buf, psem).start()
+                pltpu.make_async_copy(c_out.at[pl.ds(dst, S)], page_buf, psem).wait()
+
             pltpu.make_async_copy(
-                rows.at[pl.ds(i * S, S)], c_out.at[pl.ds(first(i), S)], sems.at[i]
-            ).start()
+                rows.at[pl.ds(i * S, S)], row_buf.at[slot], sems.at[slot]
+            ).wait()
 
-    # at most one partial page per call (prefill chunks are page-aligned),
-    # but handle any number sequentially
-    for i in range(n_pages):
-        @pl.when(partial(i))
-        def _():
-            dst = first(i)
-            pltpu.make_async_copy(c_out.at[pl.ds(dst, S)], page_buf, psem).start()
-            pltpu.make_async_copy(rows.at[pl.ds(i * S, S)], row_buf, psem).start()
-            pltpu.make_async_copy(c_out.at[pl.ds(dst, S)], page_buf, psem).wait()
-            pltpu.make_async_copy(rows.at[pl.ds(i * S, S)], row_buf, psem).wait()
-            for j in range(S):
-                @pl.when(slots_ref[i * S + j] >= 0)
-                def _():
-                    page_buf[pl.ds(j, 1), :] = row_buf[pl.ds(j, 1), :]
+            @pl.when(full(i))
+            def _():
+                page_buf[...] = row_buf[slot]
+
+            @pl.when(jnp.logical_not(full(i)))
+            def _():
+                # valid rows form a prefix of the page; merge by count
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+                cnt = jnp.int32(0)
+                for j in range(S):
+                    cnt = cnt + jnp.where(slots_ref[i * S + j] >= 0, 1, 0)
+                page_buf[...] = jnp.where(row_ids < cnt, row_buf[slot], page_buf[...])
+
             pltpu.make_async_copy(page_buf, c_out.at[pl.ds(dst, S)], psem).start()
             pltpu.make_async_copy(page_buf, c_out.at[pl.ds(dst, S)], psem).wait()
-
-    for i in range(n_pages):
-        @pl.when(full(i))
-        def _():
-            pltpu.make_async_copy(
-                rows.at[pl.ds(i * S, S)], c_out.at[pl.ds(first(i), S)], sems.at[i]
-            ).wait()
 
 
 def write_rows_2d(
@@ -375,9 +330,9 @@ def write_rows_2d(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ]
         scratch = [
-            pltpu.VMEM((S, X), cache.dtype),
-            pltpu.VMEM((S, X), cache.dtype),
-            pltpu.SemaphoreType.DMA((T // S,)),
+            pltpu.VMEM((S, X), cache.dtype),       # page merge buffer
+            pltpu.VMEM((2, S, X), cache.dtype),    # double-buffered row pages
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
@@ -457,65 +412,6 @@ def _rmw_decode_kernel_2d_pair(
             ).wait()
 
 
-def _page_write_kernel_2d_pair(
-    slots_ref, rows_k, rows_v, k_in, v_in, k_out, v_out,
-    page_buf_k, page_buf_v, row_buf_k, row_buf_v, sems, psem, *, T, S
-):
-    del k_in, v_in
-    n_pages = T // S
-
-    def first(i):
-        return slots_ref[i * S]
-
-    def full(i):
-        return jnp.logical_and(first(i) >= 0, slots_ref[i * S + S - 1] >= 0)
-
-    def partial(i):
-        return jnp.logical_and(first(i) >= 0, slots_ref[i * S + S - 1] < 0)
-
-    for i in range(n_pages):
-        @pl.when(full(i))
-        def _():
-            pltpu.make_async_copy(
-                rows_k.at[pl.ds(i * S, S)], k_out.at[pl.ds(first(i), S)], sems.at[i, 0]
-            ).start()
-            pltpu.make_async_copy(
-                rows_v.at[pl.ds(i * S, S)], v_out.at[pl.ds(first(i), S)], sems.at[i, 1]
-            ).start()
-
-    for i in range(n_pages):
-        @pl.when(partial(i))
-        def _():
-            dst = first(i)
-            pltpu.make_async_copy(k_out.at[pl.ds(dst, S)], page_buf_k, psem).start()
-            pltpu.make_async_copy(v_out.at[pl.ds(dst, S)], page_buf_v, psem).start()
-            pltpu.make_async_copy(rows_k.at[pl.ds(i * S, S)], row_buf_k, psem).start()
-            pltpu.make_async_copy(rows_v.at[pl.ds(i * S, S)], row_buf_v, psem).start()
-            pltpu.make_async_copy(k_out.at[pl.ds(dst, S)], page_buf_k, psem).wait()
-            pltpu.make_async_copy(v_out.at[pl.ds(dst, S)], page_buf_v, psem).wait()
-            pltpu.make_async_copy(rows_k.at[pl.ds(i * S, S)], row_buf_k, psem).wait()
-            pltpu.make_async_copy(rows_v.at[pl.ds(i * S, S)], row_buf_v, psem).wait()
-            for j in range(S):
-                @pl.when(slots_ref[i * S + j] >= 0)
-                def _():
-                    page_buf_k[pl.ds(j, 1), :] = row_buf_k[pl.ds(j, 1), :]
-                    page_buf_v[pl.ds(j, 1), :] = row_buf_v[pl.ds(j, 1), :]
-            pltpu.make_async_copy(page_buf_k, k_out.at[pl.ds(dst, S)], psem).start()
-            pltpu.make_async_copy(page_buf_v, v_out.at[pl.ds(dst, S)], psem).start()
-            pltpu.make_async_copy(page_buf_k, k_out.at[pl.ds(dst, S)], psem).wait()
-            pltpu.make_async_copy(page_buf_v, v_out.at[pl.ds(dst, S)], psem).wait()
-
-    for i in range(n_pages):
-        @pl.when(full(i))
-        def _():
-            pltpu.make_async_copy(
-                rows_k.at[pl.ds(i * S, S)], k_out.at[pl.ds(first(i), S)], sems.at[i, 0]
-            ).wait()
-            pltpu.make_async_copy(
-                rows_v.at[pl.ds(i * S, S)], v_out.at[pl.ds(first(i), S)], sems.at[i, 1]
-            ).wait()
-
-
 def write_rows_2d_pair(
     k_cache: jax.Array,
     v_cache: jax.Array,
@@ -536,17 +432,12 @@ def write_rows_2d_pair(
     HBM = pltpu.MemorySpace.HBM
 
     if T >= 2 * S and T % S == 0:
-        kernel = functools.partial(_page_write_kernel_2d_pair, T=T, S=S)
-        in_specs = [pl.BlockSpec(memory_space=HBM)] * 4
-        scratch = [
-            pltpu.VMEM((S, X), k_cache.dtype),
-            pltpu.VMEM((S, X), v_cache.dtype),
-            pltpu.VMEM((S, X), k_cache.dtype),
-            pltpu.VMEM((S, X), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((T // S, 2)),
-            pltpu.SemaphoreType.DMA(()),
-        ]
-    else:
+        # prefill: page-run writes, one pool at a time (VMEM-staged; the
+        # paired kernel only matters on the per-token decode path)
+        ko = write_rows_2d(k_cache, k_rows, slot_mapping, page_size, interpret)
+        vo = write_rows_2d(v_cache, v_rows, slot_mapping, page_size, interpret)
+        return ko, vo
+    if True:
         kernel = functools.partial(_rmw_decode_kernel_2d_pair, T=T, S=S)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.VMEM),

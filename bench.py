@@ -53,7 +53,7 @@ def main():
     BATCH = 16
     PAGE = 16
     CTX = 512
-    MAX_PAGES = 40  # max_model_len 640 (KV pool 7.5GB + 5.4GB params on 16GB v5e)
+    MAX_PAGES = 34  # ctx 512 + decode window headroom
     WINDOWS = 10
 
     ecfg = EngineConfig(

@@ -34,6 +34,7 @@ from ..config import EngineConfig, ModelConfig, QuantConfig
 from ..config.engine_config import CacheConfig, SchedulerConfig
 from ..kvcache.paged import KVCache, new_kv_cache, new_latent_cache
 from ..models import llama as llama_mod
+from ..models import stacked as stacked_mod
 from ..models.base import DecodeMeta, PrefillMeta
 from ..ops.sampling import (
     SamplerState,
@@ -73,8 +74,22 @@ class ModelExecutor:
         )
         self.rope = llama_mod.build_rope(cfg, engine_cfg.max_model_len)
 
+        # homogeneous-layer models CAN scan over stacked params (3 Pallas
+        # kernels total, depth-independent compile — models/stacked.py), but
+        # on current XLA the layer-scan carries the full KV pool and copies it
+        # per iteration, so the per-layer loop stays the default. Opt in with
+        # ZT_STACK=1.
+        import os as _os
+
+        self.stacked = (
+            stacked_mod.is_stackable(cfg) and _os.environ.get("ZT_STACK") == "1"
+        )
+        if self.stacked:
+            params = stacked_mod.stack_params(cfg, params)
+
         with self.mesh:
             self.params = shard_params(params, self.mesh)
+        params = None  # drop the pre-sharding reference before cache alloc
 
         self.page_size = self.cache_cfg.page_size
         self.num_pages = self._decide_num_pages()
@@ -165,10 +180,14 @@ class ModelExecutor:
                     cfg.jax_dtype,
                     sharding=NamedSharding(self.mesh, P()),
                 )
-            # slot-major layout [N_slots, H, D]: KV heads sharded over tp
+            # slot-major layout [N_slots, H, D]: KV heads sharded over tp.
+            # stacked models use ONE pool with num_layers * num_pages pages;
+            # the scan body offsets page indices by layer (models/stacked.py)
+            layers = 1 if self.stacked else cfg.num_layers
+            pages = self.num_pages * (cfg.num_layers if self.stacked else 1)
             return new_kv_cache(
-                cfg.num_layers,
-                self.num_pages,
+                layers,
+                pages,
                 self.page_size,
                 cfg.num_kv_heads,
                 cfg.dim_head,
@@ -200,6 +219,11 @@ class ModelExecutor:
             jax.jit, donate_argnums=(2,), out_shardings=self._cache_fmt
         )
         def chunk_step(params, tokens, cache, meta, emb):
+            if self.stacked:
+                return stacked_mod.backbone_chunk(
+                    params, cfg, rope, tokens, meta, cache,
+                    input_embeddings=emb if with_emb else None,
+                )
             _, cache = llama_mod.backbone(
                 params, cfg, rope, tokens, meta.positions, cache, meta, "prefill",
                 input_embeddings=emb if with_emb else None,
@@ -221,7 +245,8 @@ class ModelExecutor:
         )
         def prefill_step(params, tokens, cache, sampler_state, meta, sparams, slot, key,
                          bias_tok, bias_val, pen_tok, pen_val, emb):
-            logits, cache = llama_mod.forward_prefill(
+            mod = stacked_mod if self.stacked else llama_mod
+            logits, cache = mod.forward_prefill(
                 params, cfg, rope, tokens, meta, cache,
                 input_embeddings=emb if with_emb else None,
             )
@@ -260,7 +285,8 @@ class ModelExecutor:
             out_shardings=(rep, rep, rep, rep, self._cache_fmt, self._state_fmt),
         )
         def decode_step(params, tokens, cache, sampler_state, meta, sparams, key, num_logprobs):
-            logits, cache = llama_mod.forward_decode(params, cfg, rope, tokens, meta, cache)
+            mod = stacked_mod if self.stacked else llama_mod
+            logits, cache = mod.forward_decode(params, cfg, rope, tokens, meta, cache)
             tok, lp, toplp, toptok, new_state = sample_step(
                 logits.astype(jnp.float32), sampler_state, sparams, key, num_logprobs=num_logprobs
             )
@@ -305,7 +331,8 @@ class ModelExecutor:
                     page_tables=page_tables,
                     context_lens=context_lens,
                 )
-                logits, cache = llama_mod.forward_decode(params, cfg, rope, tokens, meta, cache)
+                mod = stacked_mod if self.stacked else llama_mod
+                logits, cache = mod.forward_decode(params, cfg, rope, tokens, meta, cache)
                 tok, lp, toplp, toptok, state2 = sample_step(
                     logits.astype(jnp.float32), state, sparams, key,
                     logit_bias_tokens=bias_tok if nb else None,
@@ -380,7 +407,8 @@ class ModelExecutor:
 
         @jax.jit
         def score(params, tokens, meta, cache):
-            logits, _ = llama_mod.forward_score(params, cfg, rope, tokens, meta, cache)
+            mod = stacked_mod if self.stacked else llama_mod
+            logits, _ = mod.forward_score(params, cfg, rope, tokens, meta, cache)
             return logits
 
         return score
@@ -398,6 +426,10 @@ class ModelExecutor:
         cfg = self.cfg
         if cfg.mla.enabled:
             cache = _new_lat(cfg.num_layers, maxp, S, cfg.mla.latent_dim, cfg.jax_dtype)
+        elif self.stacked:
+            cache = _new_kv(
+                1, maxp * cfg.num_layers, S, cfg.num_kv_heads, cfg.dim_head, cfg.jax_dtype
+            )
         else:
             cache = _new_kv(
                 cfg.num_layers, maxp, S, cfg.num_kv_heads, cfg.dim_head, cfg.jax_dtype

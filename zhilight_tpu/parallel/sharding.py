@@ -73,8 +73,13 @@ _COMPILED = [(re.compile(pat), spec) for pat, spec in _RULES]
 
 
 def param_pspec(path: str, ndim: int) -> P:
+    # layer-stacked leaves carry a leading [L] axis: prepend an unsharded dim
+    # to the matched base rule (models/stacked.py)
+    stacked = path.startswith("layer_stack.") or ".layer_stack." in path
     for pat, spec in _COMPILED:
         if pat.search(path):
+            if stacked and len(spec) > 0:
+                return P(None, *spec)
             return spec
     return REP
 

@@ -84,3 +84,17 @@ def test_paged_attention_empty_slot(blockspec):
         1.0 / np.sqrt(q.shape[-1]), interpret=True, use_blockspec=blockspec,
     )
     assert not np.any(np.isnan(np.asarray(out)))
+
+
+def test_paged_attention_packed_kv():
+    """Lane-packed K|V pool: one [N, H, 2D] array, kernel slices lanes."""
+    S = 16
+    q, k_pages, v_pages, page_tables, context_lens = _setup(D=64, S=S)
+    packed = jnp.concatenate([k_pages, v_pages], axis=-1)  # [N, H, 128]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    got = paged_decode_attention(
+        q, packed, packed, page_tables, context_lens, S, scale,
+        interpret=True, packed=True,
+    )
+    want = _reference(q, k_pages, v_pages, page_tables, context_lens, S, scale, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)

@@ -354,8 +354,13 @@ class ModelExecutor:
                 return (tokens, cache, state, positions, context_lens), (tok, lp, toplp, toptok)
 
             carry = (tokens, cache, sampler_state, positions, context_lens)
+            # unroll=2 is load-bearing: with unroll=1 XLA fails to forward the
+            # donated KV-pool buffers through the while-loop carry and copies
+            # the whole cache every iteration (456 -> 20 ms/step measured on
+            # v5e for a 10-layer model)
             (tokens, cache, state, positions, context_lens), outs = jax.lax.scan(
-                body, carry, None, length=num_steps
+                body, carry, None, length=num_steps,
+                unroll=2 if num_steps % 2 == 0 else 1,
             )
             tok, lp, toplp, toptok = outs
             return tok, lp, toplp, toptok, cache, state, tokens, positions, context_lens

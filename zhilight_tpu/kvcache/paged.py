@@ -57,19 +57,27 @@ class KVCache:
     path, transformer_buffer.h:14-16). ``page_size`` is static metadata.
     """
 
-    k: Optional[Arrays] = None          # per layer [N_slots, H, D]
-    v: Optional[Arrays] = None
+    k: Optional[Arrays] = None          # per layer [N_slots, H, D]; packed: [N_slots, H, 2D]
+    v: Optional[Arrays] = None          # None when packed (V in K's upper lanes)
     latent: Optional[Arrays] = None     # per layer [N_slots, latent]
     k_scale: Optional[Arrays] = None    # per layer [N_slots, H]
     v_scale: Optional[Arrays] = None
     page_size: int = 16
+    # lane-packed K|V pool: for head_dim < 128-lane tiles, K and V share one
+    # array [N, H, 2D] (K in lanes [:D], V in [D:]) — no lane padding (a
+    # D=64 cache stored separately wastes 2x HBM to tile padding) and one DMA
+    # per page instead of two.
+    packed: bool = False
 
     def tree_flatten(self):
-        return (self.k, self.v, self.latent, self.k_scale, self.v_scale), self.page_size
+        return (
+            (self.k, self.v, self.latent, self.k_scale, self.v_scale),
+            (self.page_size, self.packed),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, page_size=aux)
+        return cls(*children, page_size=aux[0], packed=aux[1])
 
     @property
     def _ref(self) -> jax.Array:
@@ -129,6 +137,14 @@ def alloc_zeros(shape, dtype, sharding=None) -> jax.Array:
     return _zeros_builder(tuple(shape), jnp.dtype(dtype).name, fmt)()
 
 
+def _use_packed(head_dim: int, quantized: bool) -> bool:
+    import os
+
+    if os.environ.get("ZT_NO_PACKED_KV") == "1":
+        return False
+    return not quantized and head_dim % 128 != 0 and (2 * head_dim) % 128 == 0
+
+
 def new_kv_cache(
     num_layers: int,
     num_pages: int,
@@ -140,6 +156,10 @@ def new_kv_cache(
     kv_sharding=None,
     scale_sharding=None,
 ) -> KVCache:
+    if _use_packed(head_dim, quantized):
+        shape = (num_pages * page_size, num_kv_heads, 2 * head_dim)
+        mk = tuple(alloc_zeros(shape, dtype, kv_sharding) for _ in range(num_layers))
+        return KVCache(k=mk, page_size=page_size, packed=True)
     shape = (num_pages * page_size, num_kv_heads, head_dim)
     store_dtype = jnp.int8 if quantized else dtype
     mk = lambda: tuple(alloc_zeros(shape, store_dtype, kv_sharding) for _ in range(num_layers))
@@ -206,6 +226,20 @@ def write_kv(
     src/kvcache/ragged_buffer_kernel.cu): Pallas in-place DMA kernel on TPU,
     dim-0 XLA scatter elsewhere."""
     feature = k_new.shape[-2] * k_new.shape[-1] if k_new.ndim == 3 else k_new.shape[-1]
+    if cache.packed:
+        rows = jnp.concatenate(
+            [k_new.astype(cache.k[layer].dtype), v_new.astype(cache.k[layer].dtype)],
+            axis=-1,
+        )
+        if _pallas_writes_on():
+            from ..ops.pallas.kv_write import write_rows_2d
+
+            kv = write_rows_2d(cache.k[layer], rows, slot_mapping, cache.page_size)
+        else:
+            idx = jnp.where(slot_mapping >= 0, slot_mapping, cache.num_slots)
+            kv = _scatter_rows(cache.k[layer], idx, rows)
+        return cache.set_layer(layer, k=kv)
+
     if not cache.quantized and _pallas_writes_on() and feature % 128 == 0:
         if _rows_tile_aligned(k_new):
             from ..ops.pallas.kv_write import paged_write_rows
@@ -287,6 +321,10 @@ def gather_kv(
     kernel streams pages from HBM instead of materializing this gather.
     """
     slots = _slot_indices(page_indices, cache.page_size)
+    if cache.packed:
+        kv = cache.k[layer][slots]
+        d = kv.shape[-1] // 2
+        return kv[..., :d], kv[..., d:]
     k = cache.k[layer][slots]
     v = cache.v[layer][slots]
     if cache.quantized:

@@ -137,12 +137,13 @@ def attention_layer(
         out = paged_decode_attention(
             q,
             cache.k[layer_idx],
-            cache.v[layer_idx],
+            cache.k[layer_idx] if cache.packed else cache.v[layer_idx],
             meta.page_tables,
             meta.context_lens,
             cache.page_size,
             scale,
             cfg.sliding_window,
+            packed=cache.packed,
         )
     else:
         ck, cv = gather_kv(cache, layer_idx, meta.page_tables)

@@ -173,12 +173,14 @@ def _kernel_bs(
     page_tables_ref,
     context_lens_ref,
     # blocks: q, then FPB k-page blocks, then FPB v-page blocks
+    # (packed mode: q, then FPB packed K|V page blocks)
     *refs,
     page_size: int,
     fetch_pages: int,
     num_blocks: int,
     scale: float,
     sliding_window: int,
+    packed_dim: int = 0,
 ):
     """BlockSpec-pipelined variant: Mosaic's pipeline does the page fetches
     through ``fetch_pages`` independent page windows per grid step (one-page
@@ -186,9 +188,13 @@ def _kernel_bs(
     positions clamp to the last valid page; the causal mask removes their
     contribution."""
     q_ref = refs[0]
-    k_refs = refs[1 : 1 + fetch_pages]
-    v_refs = refs[1 + fetch_pages : 1 + 2 * fetch_pages]
-    o_ref, m_ref, l_ref, acc_ref = refs[1 + 2 * fetch_pages :]
+    if packed_dim:
+        kv_refs = refs[1 : 1 + fetch_pages]
+        o_ref, m_ref, l_ref, acc_ref = refs[1 + fetch_pages :]
+    else:
+        k_refs = refs[1 : 1 + fetch_pages]
+        v_refs = refs[1 + fetch_pages : 1 + 2 * fetch_pages]
+        o_ref, m_ref, l_ref, acc_ref = refs[1 + 2 * fetch_pages :]
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -207,8 +213,13 @@ def _kernel_bs(
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
         Hkv = q.shape[0]
-        kt = jnp.concatenate([r[:] for r in k_refs], axis=0)  # [FPB*S, Hkv, D]
-        vt = jnp.concatenate([r[:] for r in v_refs], axis=0)
+        if packed_dim:
+            kvt = jnp.concatenate([r[:] for r in kv_refs], axis=0)  # [FPB*S, Hkv, 2D]
+            kt = kvt[..., :packed_dim]
+            vt = kvt[..., packed_dim:]
+        else:
+            kt = jnp.concatenate([r[:] for r in k_refs], axis=0)  # [FPB*S, Hkv, D]
+            vt = jnp.concatenate([r[:] for r in v_refs], axis=0)
         if Hkv == 1:
             k2 = kt[:, 0].astype(jnp.float32)
             v2 = vt[:, 0].astype(jnp.float32)
@@ -252,13 +263,14 @@ def _kernel_bs(
 def _paged_decode_blockspec(
     q_g,  # [B, Hkv, G, D]
     k_pages, v_pages, safe_tables, context_lens, page_size, scale,
-    sliding_window, interpret, fetch_pages=8,
+    sliding_window, interpret, fetch_pages=8, packed=False,
 ):
     B, Hkv, G, D = q_g.shape
     S = page_size
     maxp = safe_tables.shape[1]
     FPB = min(fetch_pages, maxp)
     num_blocks = (maxp + FPB - 1) // FPB
+    stored = k_pages.shape[-1]  # 2D when packed
 
     def q_index(b, i, *_):
         return (b, 0, 0, 0)
@@ -273,11 +285,17 @@ def _paged_decode_blockspec(
 
         return kv_index
 
-    kv_specs = [pl.BlockSpec((S, Hkv, D), kv_index_at(j)) for j in range(FPB)]
+    kv_specs = [pl.BlockSpec((S, Hkv, stored), kv_index_at(j)) for j in range(FPB)]
+    if packed:
+        in_specs = [pl.BlockSpec((1, Hkv, G, D), q_index)] + kv_specs
+        operands = (safe_tables, context_lens, q_g, *([k_pages] * FPB))
+    else:
+        in_specs = [pl.BlockSpec((1, Hkv, G, D), q_index)] + kv_specs + kv_specs
+        operands = (safe_tables, context_lens, q_g, *([k_pages] * FPB), *([v_pages] * FPB))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, num_blocks),
-        in_specs=[pl.BlockSpec((1, Hkv, G, D), q_index)] + kv_specs + kv_specs,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
@@ -292,6 +310,7 @@ def _paged_decode_blockspec(
         num_blocks=num_blocks,
         scale=scale,
         sliding_window=sliding_window,
+        packed_dim=D if packed else 0,
     )
     return pl.pallas_call(
         kernel,
@@ -301,7 +320,7 @@ def _paged_decode_blockspec(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(safe_tables, context_lens, q_g, *([k_pages] * FPB), *([v_pages] * FPB))
+    )(*operands)
 
 
 def paged_decode_attention(
@@ -316,6 +335,7 @@ def paged_decode_attention(
     pages_per_block: int = 8,
     interpret: bool = False,
     use_blockspec: bool = False,
+    packed: bool = False,  # k_pages holds K|V lane-packed [N, Hkv, 2D]
 ) -> jax.Array:
     B, Hq, D = q.shape
     _, Hkv, _ = k_pages.shape
@@ -332,13 +352,13 @@ def paged_decode_attention(
     # Mosaic rejects slices of lane/sublane-padded buffers, so it needs
     # tile-aligned (Hkv, D). Everything else takes the BlockSpec variant
     # (Mosaic-managed page fetches handle padding internally).
-    if D % 128 != 0 or Hkv % 8 != 0:
+    if packed or D % 128 != 0 or Hkv % 8 != 0:
         use_blockspec = True
 
     if use_blockspec:
         return _paged_decode_blockspec(
             q_g, k_pages, v_pages, safe_tables, context_lens, S, scale,
-            sliding_window, interpret, fetch_pages=PPB,
+            sliding_window, interpret, fetch_pages=PPB, packed=packed,
         ).reshape(B, Hq, D)
 
     def q_index(b, i, *_):

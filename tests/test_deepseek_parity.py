@@ -82,3 +82,48 @@ def test_deepseek_parity(case):
     got = run_engine(cfg, params, tokens)
     want = ref_logits[len(tokens) - 4 :]
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_mla_pallas_decode_matches_jnp():
+    """Pallas latent MQA decode (interpret mode) vs the jnp absorbed path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from zhilight_tpu.models import mla as M
+    from zhilight_tpu.ops.pallas.paged_attention import paged_mla_decode
+
+    rng = np.random.RandomState(0)
+    B, H, lora, rope_d, S, MAXP = 3, 4, 128, 64, 16, 4
+    stored = ((lora + rope_d) + 127) // 128 * 128
+    N = B * MAXP * S
+    pool = jnp.asarray(rng.randn(N, stored), jnp.float32)
+    # zero the pad lanes like write_latent does
+    pool = pool.at[:, lora + rope_d :].set(0.0)
+    q_nope = jnp.asarray(rng.randn(B, H, 96), jnp.float32)
+    q_pe = jnp.asarray(rng.randn(B, H, rope_d), jnp.float32)
+    w_uk = jnp.asarray(rng.randn(lora, H, 96), jnp.float32) * 0.1
+    w_uv = jnp.asarray(rng.randn(lora, H, 64), jnp.float32) * 0.1
+    context_lens = jnp.asarray(rng.randint(1, MAXP * S, size=B).astype(np.int32))
+    pt = np.stack([b * MAXP + np.arange(MAXP) for b in range(B)]).astype(np.int32)
+    page_tables = jnp.asarray(pt)
+    scale = 0.11
+
+    # jnp reference path
+    from zhilight_tpu.kvcache.paged import KVCache, gather_latent
+
+    cache = KVCache(latent=(pool,), page_size=S)
+
+    class _m:
+        kv_lora_rank = lora
+        qk_rope_head_dim = rope_d
+
+    ctx = gather_latent(cache, 0, page_tables)
+    want = M._mla_decode(q_nope, q_pe, ctx, w_uk, w_uv, context_lens, scale, _m)
+
+    q_latent = jnp.einsum("bhn,lhn->bhl", q_nope, w_uk)
+    q_eff = jnp.concatenate([q_latent, q_pe], axis=-1)
+    out_latent = paged_mla_decode(
+        q_eff, pool, page_tables, context_lens, S, scale, v_dim=lora, interpret=True
+    )
+    got = jnp.einsum("bhl,lhv->bhv", out_latent, w_uv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)

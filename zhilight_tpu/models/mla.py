@@ -111,12 +111,48 @@ def mla_attention_layer(
         out = _mla_prefill(
             q_nope, q_pe, ctx, w_uk, w_uv, meta.cache_len, meta.q_len, scale, m
         )
+    elif _use_pallas_mla():
+        out = _mla_decode_pallas(
+            q_nope, q_pe, cache, layer_idx, w_uk, w_uv, meta, scale, m
+        )
     else:
         ctx = gather_latent(cache, layer_idx, meta.page_tables)  # [B, KV, latent]
         out = _mla_decode(q_nope, q_pe, ctx, w_uk, w_uv, meta.context_lens, scale, m)
 
     out = out.reshape(T, cfg.num_heads * m.v_head_dim)
     return linear(p["o_proj"], out), cache
+
+
+def _use_pallas_mla() -> bool:
+    import os
+
+    if os.environ.get("ZT_NO_PALLAS") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _mla_decode_pallas(q_nope, q_pe, cache, layer_idx, w_uk, w_uv, meta, scale, m):
+    """Absorbed latent MQA through the Pallas paged kernel
+    (ops/pallas/paged_attention.paged_mla_decode)."""
+    from ..ops.pallas.paged_attention import paged_mla_decode
+
+    q_latent = jnp.einsum(
+        "bhn,lhn->bhl", q_nope, w_uk, preferred_element_type=jnp.float32
+    ).astype(q_nope.dtype)
+    q_eff = jnp.concatenate([q_latent, q_pe.astype(q_nope.dtype)], axis=-1)
+    out_latent = paged_mla_decode(
+        q_eff,
+        cache.latent[layer_idx],
+        meta.page_tables,
+        meta.context_lens,
+        cache.page_size,
+        scale,
+        v_dim=m.kv_lora_rank,
+    )
+    return jnp.einsum(
+        "bhl,lhv->bhv", out_latent.astype(jnp.float32), w_uv.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(q_nope.dtype)
 
 
 def _mla_decode(

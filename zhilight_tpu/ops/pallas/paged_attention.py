@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["paged_decode_attention"]
+__all__ = ["paged_decode_attention", "paged_mla_decode"]
 
 NEG_INF = -2.0e38
 
@@ -181,6 +181,8 @@ def _kernel_bs(
     scale: float,
     sliding_window: int,
     packed_dim: int = 0,
+    v_dim: int = 0,  # MLA latent mode: scores over the full stored dim
+                     # (query zero-padded), V = prefix slice [..., :v_dim]
 ):
     """BlockSpec-pipelined variant: Mosaic's pipeline does the page fetches
     through ``fetch_pages`` independent page windows per grid step (one-page
@@ -188,7 +190,7 @@ def _kernel_bs(
     positions clamp to the last valid page; the causal mask removes their
     contribution."""
     q_ref = refs[0]
-    if packed_dim:
+    if packed_dim or v_dim:
         kv_refs = refs[1 : 1 + fetch_pages]
         o_ref, m_ref, l_ref, acc_ref = refs[1 + fetch_pages :]
     else:
@@ -213,7 +215,11 @@ def _kernel_bs(
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
         Hkv = q.shape[0]
-        if packed_dim:
+        if v_dim:
+            kvt = jnp.concatenate([r[:] for r in kv_refs], axis=0)  # [FPB*S, 1, stored]
+            kt = kvt
+            vt = kvt[..., :v_dim]
+        elif packed_dim:
             kvt = jnp.concatenate([r[:] for r in kv_refs], axis=0)  # [FPB*S, Hkv, 2D]
             kt = kvt[..., :packed_dim]
             vt = kvt[..., packed_dim:]
@@ -263,14 +269,15 @@ def _kernel_bs(
 def _paged_decode_blockspec(
     q_g,  # [B, Hkv, G, D]
     k_pages, v_pages, safe_tables, context_lens, page_size, scale,
-    sliding_window, interpret, fetch_pages=8, packed=False,
+    sliding_window, interpret, fetch_pages=8, packed=False, v_dim=0,
 ):
     B, Hkv, G, D = q_g.shape
     S = page_size
     maxp = safe_tables.shape[1]
     FPB = min(fetch_pages, maxp)
     num_blocks = (maxp + FPB - 1) // FPB
-    stored = k_pages.shape[-1]  # 2D when packed
+    stored = k_pages.shape[-1]  # 2D when packed; latent width in MLA mode
+    Dv = v_dim if v_dim else D
 
     def q_index(b, i, *_):
         return (b, 0, 0, 0)
@@ -286,7 +293,7 @@ def _paged_decode_blockspec(
         return kv_index
 
     kv_specs = [pl.BlockSpec((S, Hkv, stored), kv_index_at(j)) for j in range(FPB)]
-    if packed:
+    if packed or v_dim:
         in_specs = [pl.BlockSpec((1, Hkv, G, D), q_index)] + kv_specs
         operands = (safe_tables, context_lens, q_g, *([k_pages] * FPB))
     else:
@@ -296,11 +303,11 @@ def _paged_decode_blockspec(
         num_scalar_prefetch=2,
         grid=(B, num_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
+        out_specs=pl.BlockSpec((1, Hkv, G, Dv), q_index),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
-            pltpu.VMEM((Hkv, G, D), jnp.float32),
+            pltpu.VMEM((Hkv, G, Dv), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -311,11 +318,12 @@ def _paged_decode_blockspec(
         scale=scale,
         sliding_window=sliding_window,
         packed_dim=D if packed else 0,
+        v_dim=v_dim,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q_g.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dv), q_g.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -402,3 +410,34 @@ def paged_decode_attention(
         interpret=interpret,
     )(safe_tables, context_lens, q_g, k_pages, v_pages)
     return out.reshape(B, Hq, D)
+
+
+def paged_mla_decode(
+    q_eff: jax.Array,  # [B, H, k_dim]: concat(absorbed q_latent, q_pe)
+    latent_pool: jax.Array,  # [N_slots, stored] (lane-padded latent pool)
+    page_tables: jax.Array,
+    context_lens: jax.Array,
+    page_size: int,
+    scale: float,
+    v_dim: int,  # kv_lora_rank: V = latent[..., :v_dim]
+    interpret: bool = False,
+) -> jax.Array:
+    """MLA absorbed-weight latent decode as single-"head" MQA (reference
+    forward_compressed_cache + FlashMLA, multi_head_latent_attention.cpp).
+
+    scores = q_eff . latent  (q zero-padded over the pool's lane padding, so
+    the dot runs over the full stored width with no sub-lane slicing) and
+    out_latent = softmax(scores) . latent[..., :v_dim] (128-aligned slice).
+    Returns [B, H, v_dim].
+    """
+    B, H, k_dim = q_eff.shape
+    N, stored = latent_pool.shape
+    if k_dim < stored:
+        q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, stored - k_dim)))
+    q_g = q_eff.reshape(B, 1, H, stored)
+    pool3 = latent_pool.reshape(N, 1, stored)
+    out = _paged_decode_blockspec(
+        q_g, pool3, pool3, jnp.maximum(page_tables, 0), context_lens,
+        page_size, scale, 0, interpret, fetch_pages=8, v_dim=v_dim,
+    )
+    return out.reshape(B, H, v_dim)

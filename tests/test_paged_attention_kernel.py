@@ -98,3 +98,42 @@ def test_paged_attention_packed_kv():
     )
     want = _reference(q, k_pages, v_pages, page_tables, context_lens, S, scale, 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+
+def test_paged_attention_int8_kv():
+    """INT8-quantized cache kernel vs dequantized jnp reference."""
+    from zhilight_tpu.ops.pallas.paged_attention import paged_decode_attention_q
+
+    S = 16
+    rng = np.random.RandomState(3)
+    B, Hq, Hkv, D, P, maxp = 4, 8, 2, 128, 32, 6
+    q = jnp.asarray(rng.randn(B, Hq, D), jnp.float32)
+    kf = rng.randn(P * S, Hkv, D).astype(np.float32)
+    vf = rng.randn(P * S, Hkv, D).astype(np.float32)
+    # quantize per (token, head)
+    def quant(x):
+        s = np.maximum(np.abs(x).max(-1) / 127.0, 1e-8)
+        qx = np.clip(np.round(x / s[..., None]), -127, 127).astype(np.int8)
+        return qx, s.astype(np.float32)
+    kq, ks = quant(kf)
+    vq, vs = quant(vf)
+    context_lens = rng.randint(1, maxp * S, size=B).astype(np.int32)
+    page_tables = np.full((B, maxp), -1, np.int32)
+    used = set()
+    for b in range(B):
+        for i in range((context_lens[b] + S - 1) // S):
+            while True:
+                p = rng.randint(0, P)
+                if p not in used:
+                    used.add(p); break
+            page_tables[b, i] = p
+    scale = 1.0 / np.sqrt(D)
+    got = paged_decode_attention_q(
+        q, jnp.asarray(kq), jnp.asarray(vq), jnp.asarray(ks), jnp.asarray(vs),
+        jnp.asarray(page_tables), jnp.asarray(context_lens), S, scale, interpret=True,
+    )
+    kd = kq.astype(np.float32) * ks[..., None]
+    vd = vq.astype(np.float32) * vs[..., None]
+    want = _reference(q, jnp.asarray(kd), jnp.asarray(vd), jnp.asarray(page_tables),
+                      jnp.asarray(context_lens), S, scale, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)

@@ -111,7 +111,7 @@ class ModelExecutor:
         # pays full-cache layout-conversion copies reconciling the entry
         # arrays with the Pallas kernels' default-layout operands.
         self._rep = NamedSharding(self.mesh, P())
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and _os.environ.get("ZT_NO_FMT_PIN") != "1":
             from jax.experimental import layout as XL
 
             def fmt(x):

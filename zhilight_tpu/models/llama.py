@@ -97,9 +97,8 @@ def _use_pallas_decode(cfg: ModelConfig, cache: KVCache) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    if cache.quantized:
-        return False
-    # slot-major pages DMA on the untiled dim, so any head_dim lowers
+    # slot-major pages DMA on the untiled dim, so any head_dim lowers;
+    # quantized caches take the dedicated int8 kernel
     return True
 
 
@@ -130,6 +129,21 @@ def attention_layer(
         ck, cv = gather_kv(cache, layer_idx, meta.page_table)
         out = prefill_attention(
             q, ck, cv, meta.cache_len, meta.q_len, scale, cfg.sliding_window
+        )
+    elif _use_pallas_decode(cfg, cache) and cache.quantized:
+        from ..ops.pallas.paged_attention import paged_decode_attention_q
+
+        out = paged_decode_attention_q(
+            q,
+            cache.k[layer_idx],
+            cache.v[layer_idx],
+            cache.k_scale[layer_idx],
+            cache.v_scale[layer_idx],
+            meta.page_tables,
+            meta.context_lens,
+            cache.page_size,
+            scale,
+            cfg.sliding_window,
         )
     elif _use_pallas_decode(cfg, cache):
         from ..ops.pallas.paged_attention import paged_decode_attention

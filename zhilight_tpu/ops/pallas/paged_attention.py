@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["paged_decode_attention", "paged_mla_decode"]
+__all__ = ["paged_decode_attention", "paged_mla_decode", "paged_decode_attention_q"]
 
 NEG_INF = -2.0e38
 
@@ -441,3 +441,174 @@ def paged_mla_decode(
         page_size, scale, 0, interpret, fetch_pages=8, v_dim=v_dim,
     )
     return out.reshape(B, H, v_dim)
+
+
+def _kernel_bs_q(
+    # scalar prefetch
+    page_tables_ref,
+    context_lens_ref,
+    # blocks: q, FPB k-pages (int8), FPB v-pages (int8), FPB k-scales, FPB v-scales
+    *refs,
+    page_size: int,
+    fetch_pages: int,
+    num_blocks: int,
+    scale: float,
+    sliding_window: int,
+):
+    """INT8-quantized KV variant (reference quantized-cache decode kernels,
+    attention_kernel.cu quant_attention.cuh): per-(token, head) absmax scales,
+    dequantized in VMEM right after the page fetch."""
+    q_ref = refs[0]
+    F = fetch_pages
+    k_refs = refs[1 : 1 + F]
+    v_refs = refs[1 + F : 1 + 2 * F]
+    ks_refs = refs[1 + 2 * F : 1 + 3 * F]
+    vs_refs = refs[1 + 3 * F : 1 + 4 * F]
+    o_ref, m_ref, l_ref, acc_ref = refs[1 + 4 * F :]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ctx = context_lens_ref[b]
+    S, FPB = page_size, fetch_pages
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    num_valid_pages = pl.cdiv(ctx, S)
+
+    @pl.when((i * FPB) < num_valid_pages)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
+        Hkv = q.shape[0]
+        kq = jnp.concatenate([r[:] for r in k_refs], axis=0).astype(jnp.float32)
+        vq = jnp.concatenate([r[:] for r in v_refs], axis=0).astype(jnp.float32)
+        ks = jnp.concatenate([r[:] for r in ks_refs], axis=0)  # [T, Hkv]
+        vs = jnp.concatenate([r[:] for r in vs_refs], axis=0)
+        kt = kq * ks[..., None]
+        vt = vq * vs[..., None]
+        if Hkv == 1:
+            k2 = kt[:, 0]
+            v2 = vt[:, 0]
+            s = jax.lax.dot_general(
+                q[0], k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )[None]
+        else:
+            k = jnp.swapaxes(kt, 0, 1)
+            v = jnp.swapaxes(vt, 0, 1)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+        s = s * scale
+        token_idx = i * (FPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        mask = token_idx < ctx
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, token_idx > ctx - 1 - sliding_window)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if Hkv == 1:
+            upd = jax.lax.dot_general(
+                p[0], v2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )[None]
+        else:
+            upd = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+        acc_ref[...] = acc_ref[...] * alpha + upd
+        m_ref[...] = m_new
+
+    @pl.when(i == num_blocks - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[...], 1e-20)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def paged_decode_attention_q(
+    q: jax.Array,          # [B, Hq, D]
+    k_pages: jax.Array,    # [N, Hkv, D] int8
+    v_pages: jax.Array,
+    k_scales: jax.Array,   # [N, Hkv] f32
+    v_scales: jax.Array,
+    page_tables: jax.Array,
+    context_lens: jax.Array,
+    page_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    fetch_pages: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused decode attention over the INT8-quantized paged cache."""
+    B, Hq, D = q.shape
+    _, Hkv, _ = k_pages.shape
+    S = page_size
+    G = Hq // Hkv
+    maxp = page_tables.shape[1]
+    FPB = min(fetch_pages, maxp)
+    num_blocks = (maxp + FPB - 1) // FPB
+    q_g = q.reshape(B, Hkv, G, D)
+    safe_tables = jnp.maximum(page_tables, 0)
+
+    def q_index(b, i, *_):
+        return (b, 0, 0, 0)
+
+    def kv_index_at(j):
+        def kv_index(b, i, page_tables_ref, context_lens_ref):
+            ctx = context_lens_ref[b]
+            valid = pl.cdiv(ctx, S)
+            pos = i * FPB + j
+            page = page_tables_ref[b, jnp.minimum(pos, jnp.maximum(valid - 1, 0))]
+            return (page, 0, 0)
+
+        return kv_index
+
+    def sc_index_at(j):
+        def sc_index(b, i, page_tables_ref, context_lens_ref):
+            ctx = context_lens_ref[b]
+            valid = pl.cdiv(ctx, S)
+            pos = i * FPB + j
+            page = page_tables_ref[b, jnp.minimum(pos, jnp.maximum(valid - 1, 0))]
+            return (page, 0)
+
+        return sc_index
+
+    kv_specs = [pl.BlockSpec((S, Hkv, D), kv_index_at(j)) for j in range(FPB)]
+    sc_specs = [pl.BlockSpec((S, Hkv), sc_index_at(j)) for j in range(FPB)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, num_blocks),
+        in_specs=[pl.BlockSpec((1, Hkv, G, D), q_index)] + kv_specs + kv_specs + sc_specs + sc_specs,
+        out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_bs_q,
+        page_size=S,
+        fetch_pages=FPB,
+        num_blocks=num_blocks,
+        scale=scale,
+        sliding_window=sliding_window,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        safe_tables, context_lens, q_g,
+        *([k_pages] * FPB), *([v_pages] * FPB),
+        *([k_scales] * FPB), *([v_scales] * FPB),
+    )
+    return out.reshape(B, Hq, D)

@@ -139,13 +139,27 @@ class ModelExecutor:
         # size from free HBM after params (reference auto memory-limit:
         # free - RESERVE_MEM_MB, py_model_base.cpp:59-92 + kv_buf_bytes
         # accounting in batch_generator.cpp:585-630)
+        free = 0
         try:
-            stats = jax.local_devices()[0].memory_stats()
+            stats = jax.local_devices()[0].memory_stats() or {}
             limit = stats.get("bytes_limit", 0)
             used = stats.get("bytes_in_use", 0)
-            free = (limit - used) * cc.hbm_utilization - cc.reserved_hbm_mb * (1 << 20)
+            if limit:
+                free = (limit - used) * cc.hbm_utilization - cc.reserved_hbm_mb * (1 << 20)
         except Exception:
-            free = 0
+            pass
+        if free <= 0 and jax.default_backend() == "tpu":
+            # memory_stats can be unavailable (e.g. tunneled runtimes): size
+            # from known per-chip HBM minus the loaded parameters
+            hbm_by_kind = {"v5 lite": 16, "v5e": 16, "v4": 32, "v5p": 95, "v6e": 32}
+            kind = jax.local_devices()[0].device_kind.lower()
+            hbm_gb = next((v for k, v in hbm_by_kind.items() if k in kind), 16)
+            param_bytes = sum(
+                x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
+            ) // max(jax.device_count(), 1)
+            free = (
+                hbm_gb * (1 << 30) - param_bytes
+            ) * cc.hbm_utilization - cc.reserved_hbm_mb * (1 << 20)
         per_token = self._kv_bytes_per_token()
         if free <= 0:
             # CPU tests / unknown platform: budget from max_total_token
@@ -154,6 +168,10 @@ class ModelExecutor:
                 8,
             )
         tokens = int(free // per_token)
+        if not cc.enable_prefix_caching:
+            # without prefix retention, pages beyond the maximum concurrent
+            # context are unusable
+            tokens = min(tokens, self.sched_cfg.max_batch * self.engine_cfg.max_model_len)
         return max(tokens // self.page_size, 8)
 
     def _kv_bytes_per_token(self) -> int:

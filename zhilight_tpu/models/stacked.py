@@ -123,8 +123,12 @@ def _backbone(params, cfg, rope, tokens, cache, meta, mode, input_embeddings=Non
     pages_per_layer = cache.num_pages // cfg.num_layers
     body = _layer_body(cfg, rope, pages_per_layer, mode)
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    # unroll=2: XLA forwards the carried pool buffers between alternating
+    # unrolled bodies; unroll=1 copies the whole pool every layer (same
+    # finding as the decode-window scan)
     (x, cache, _), _ = jax.lax.scan(
-        body, (x, cache, meta), (params["layer_stack"], layer_ids)
+        body, (x, cache, meta), (params["layer_stack"], layer_ids),
+        unroll=2 if cfg.num_layers % 2 == 0 else 1,
     )
     return L._norm(params["final_norm"], cfg, x), cache
 

@@ -23,12 +23,20 @@ from zhilight_tpu.kvcache import new_kv_cache
 from zhilight_tpu.models import llama as L
 from zhilight_tpu.models.base import DecodeMeta
 
-cfg = ModelConfig(
-    model_type="cpm_dragonfly", num_layers=40, dim_model=2304, num_heads=36,
-    dim_head=64, num_kv_heads=36, dim_ff=5760, vocab_size=122753,
-    dtype="bfloat16", scale_emb=12.0, scale_depth=1.4, dim_model_base=256,
-    tie_lm_head=True,
-)
+GEOM = os.environ.get("ZT_PROFILE_GEOM", "minicpm")
+if GEOM == "llama8b":
+    cfg = ModelConfig(
+        model_type="llama", num_layers=32, dim_model=4096, num_heads=32,
+        dim_head=128, num_kv_heads=8, dim_ff=14336, vocab_size=32768,
+        dtype="bfloat16",
+    )
+else:
+    cfg = ModelConfig(
+        model_type="cpm_dragonfly", num_layers=40, dim_model=2304, num_heads=36,
+        dim_head=64, num_kv_heads=36, dim_ff=5760, vocab_size=122753,
+        dtype="bfloat16", scale_emb=12.0, scale_depth=1.4, dim_model_base=256,
+        tie_lm_head=True,
+    )
 BATCH, PAGE, CTX = 16, 16, 512
 MAX_PAGES = CTX // PAGE
 rope = L.build_rope(cfg)
@@ -66,31 +74,28 @@ with jax.profiler.trace(trace_dir):
         tokens, cache = f(params, tokens, cache, meta)
     jax.block_until_ready(tokens)
 
-# summarize chrome trace events
-files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+# summarize from the xplane (the chrome json truncates at 1M host events)
+import json as _json
+
+from xprof.convert import raw_to_tool_data as r2t
+
+files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
 assert files, "no trace written"
-with gzip.open(files[0], "rt") as fh:
-    trace = json.load(fh)
+data, _ = r2t.xspace_to_tool_data(files, "framework_op_stats", {})
+obj = _json.loads(bytes(data).decode())
+table = obj[0] if isinstance(obj, list) else obj
+cols = [c["id"] for c in table["cols"]]
+rows = [dict(zip(cols, [c.get("v") for c in r["c"]])) for r in table["rows"]]
+dev = [r for r in rows if r.get("host_or_device") == "Device"]
+from collections import defaultdict as _dd
 
-# find device-op events (TensorFlow Op / XLA Ops track)
-durs = defaultdict(float)
-cnt = defaultdict(int)
-pid_names = {}
-for ev in trace["traceEvents"]:
-    if ev.get("ph") == "M" and ev.get("name") == "process_name":
-        pid_names[ev["pid"]] = ev["args"].get("name", "")
-for ev in trace["traceEvents"]:
-    if ev.get("ph") != "X":
-        continue
-    pname = pid_names.get(ev.get("pid"), "")
-    if "TPU" not in pname and "tpu" not in pname:
-        continue
-    name = ev.get("name", "")
-    name = re.sub(r"[.\d]+$", "", name)  # aggregate fusion.123 -> fusion
-    durs[name] += ev.get("dur", 0)
-    cnt[name] += 1
-
-total = sum(durs.values())
-print(f"total device-op time over 3 steps: {total/1000:.2f} ms  ({total/3000:.2f} ms/step)")
-for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:25]:
-    print(f"{d/3000:9.3f} ms/step  x{cnt[name]//3:<5d} {name[:100]}")
+agg = _dd(float)
+cnt = _dd(float)
+for r in dev:
+    name = re.sub(r"[.\d]+$", "", str(r["operation"]))
+    agg[name] += float(r["total_self_time"])  # microseconds
+    cnt[name] += float(r["occurrences"])
+tot = sum(agg.values())
+print(f"total device self time: {tot/3000:.2f} ms/step")
+for n, t in sorted(agg.items(), key=lambda kv: -kv[1])[:18]:
+    print(f"{t/3000:8.3f} ms/step x{cnt[n]/3:<6.0f} {n[:80]}")

@@ -102,6 +102,19 @@ def _use_pallas_decode(cfg: ModelConfig, cache: KVCache) -> bool:
     return True
 
 
+def _use_fused_write(cfg: ModelConfig, cache: KVCache) -> bool:
+    """Opt-in (ZT_FUSED_KV=1): fuse the decode KV write into the attention
+    kernel. Measured SLOWER than write-then-attend on v5e and kept only as an
+    experiment: the fused kernel's device time equals the separate pair's
+    (kernel launch overhead within a jit program is negligible), and
+    aliasing the pool while it is also a fetch operand makes XLA insert
+    defensive pool copies (+6.5 ms/step at 32 layers; llama8b single-step
+    24.7 ms unfused / 30.8 ms fused, profiled 2026-08-16)."""
+    import os
+
+    return os.environ.get("ZT_FUSED_KV") == "1" and not cache.quantized
+
+
 def attention_layer(
     p: Params,
     cfg: ModelConfig,
@@ -122,8 +135,37 @@ def attention_layer(
     q = apply_rope(q, cos, sin, rope.neox_style)
     k = apply_rope(k, cos, sin, rope.neox_style)
 
-    cache = write_kv(cache, layer_idx, k, v, meta.slot_mapping)
     scale = 1.0 / math.sqrt(cfg.dim_head)
+
+    if (
+        mode == "decode"
+        and _use_pallas_decode(cfg, cache)
+        and _use_fused_write(cfg, cache)
+    ):
+        from ..ops.pallas.paged_attention import paged_decode_attention_fused
+
+        out, ko, vo = paged_decode_attention_fused(
+            q,
+            cache.k[layer_idx],
+            None if cache.packed else cache.v[layer_idx],
+            k,
+            v,
+            meta.slot_mapping,
+            meta.page_tables,
+            meta.context_lens,
+            cache.page_size,
+            scale,
+            cfg.sliding_window,
+        )
+        cache = (
+            cache.set_layer(layer_idx, k=ko)
+            if cache.packed
+            else cache.set_layer(layer_idx, k=ko, v=vo)
+        )
+        out = out.reshape(n, cfg.num_heads * cfg.dim_head)
+        return linear(p["o_proj"], out), cache
+
+    cache = write_kv(cache, layer_idx, k, v, meta.slot_mapping)
 
     if mode == "prefill":
         ck, cv = gather_kv(cache, layer_idx, meta.page_table)

@@ -102,9 +102,17 @@ def mla_attention_layer(
     k_pe = apply_rope(k_pe, cos, sin, rope.neox_style)[:, 0]  # [T, rope]
 
     latent = jnp.concatenate([c_kv, k_pe], axis=-1)  # [T, latent_dim]
-    cache = write_latent(cache, layer_idx, latent, meta.slot_mapping)
-
     w_uk, w_uv = _kv_b_weights(p, cfg)
+
+    if mode == "decode" and _use_pallas_mla() and _use_fused_latent():
+        # fused write+attend: one kernel per layer, pool aliased in place
+        out, cache = _mla_decode_pallas_fused(
+            q_nope, q_pe, latent, cache, layer_idx, w_uk, w_uv, meta, scale, m
+        )
+        out = out.reshape(T, cfg.num_heads * m.v_head_dim)
+        return linear(p["o_proj"], out), cache
+
+    cache = write_latent(cache, layer_idx, latent, meta.slot_mapping)
 
     if mode == "prefill":
         ctx = gather_latent(cache, layer_idx, meta.page_table)  # [KV, latent]
@@ -131,17 +139,53 @@ def _use_pallas_mla() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_fused_latent() -> bool:
+    # opt-in experiment; see llama._use_fused_write for why it is off
+    import os
+
+    return os.environ.get("ZT_FUSED_KV") == "1"
+
+
+def _q_eff(q_nope, q_pe, w_uk):
+    """Absorb W_UK into q and append the rope part: [B, H, lora + rope]."""
+    q_latent = jnp.einsum(
+        "bhn,lhn->bhl", q_nope, w_uk, preferred_element_type=jnp.float32
+    ).astype(q_nope.dtype)
+    return jnp.concatenate([q_latent, q_pe.astype(q_nope.dtype)], axis=-1)
+
+
+def _mla_decode_pallas_fused(
+    q_nope, q_pe, latent_new, cache, layer_idx, w_uk, w_uv, meta, scale, m
+):
+    """Fused latent write + absorbed MQA decode
+    (ops/pallas/paged_attention.paged_mla_decode_fused)."""
+    from ..ops.pallas.paged_attention import paged_mla_decode_fused
+
+    out_latent, pool = paged_mla_decode_fused(
+        _q_eff(q_nope, q_pe, w_uk),
+        cache.latent[layer_idx],
+        latent_new,
+        meta.slot_mapping,
+        meta.page_tables,
+        meta.context_lens,
+        cache.page_size,
+        scale,
+        v_dim=m.kv_lora_rank,
+    )
+    out = jnp.einsum(
+        "bhl,lhv->bhv", out_latent.astype(jnp.float32), w_uv.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(q_nope.dtype)
+    return out, cache.set_layer(layer_idx, latent=pool)
+
+
 def _mla_decode_pallas(q_nope, q_pe, cache, layer_idx, w_uk, w_uv, meta, scale, m):
     """Absorbed latent MQA through the Pallas paged kernel
     (ops/pallas/paged_attention.paged_mla_decode)."""
     from ..ops.pallas.paged_attention import paged_mla_decode
 
-    q_latent = jnp.einsum(
-        "bhn,lhn->bhl", q_nope, w_uk, preferred_element_type=jnp.float32
-    ).astype(q_nope.dtype)
-    q_eff = jnp.concatenate([q_latent, q_pe.astype(q_nope.dtype)], axis=-1)
     out_latent = paged_mla_decode(
-        q_eff,
+        _q_eff(q_nope, q_pe, w_uk),
         cache.latent[layer_idx],
         meta.page_tables,
         meta.context_lens,

@@ -212,3 +212,88 @@ def test_multi_step_page_boundary(tiny_model):
     with DynamicBatchGenerator(llm) as gen:
         res = gen.generate(prompt, GeneratorArg(max_length=10))
     assert res.outputs[0].token_ids == expected
+
+
+@pytest.fixture(scope="module")
+def tiny_mla_model():
+    """DeepSeek-style MLA model: latent KV cache through the whole engine."""
+    from zhilight_tpu.config import MLAConfig
+
+    cfg = ModelConfig(
+        model_type="deepseek_v2",
+        num_layers=2,
+        dim_model=32,
+        num_heads=4,
+        dim_head=8,
+        num_kv_heads=4,
+        dim_ff=64,
+        vocab_size=VOCAB,
+        dtype="float32",
+        mla=MLAConfig(
+            q_lora_rank=16,
+            kv_lora_rank=16,
+            qk_nope_head_dim=8,
+            qk_rope_head_dim=4,
+            v_head_dim=8,
+        ),
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    return cfg, params
+
+
+def naive_greedy_mla(cfg, params, prompt, max_new):
+    from zhilight_tpu.kvcache import new_latent_cache
+
+    PAGE, MAXP, BUCKET = 4, 16, 32
+    rope = L.build_rope(cfg)
+    cache = new_latent_cache(cfg.num_layers, MAXP, PAGE, cfg.mla.latent_dim, jnp.float32)
+    n = len(prompt)
+    tok = np.zeros(BUCKET, np.int32)
+    tok[:n] = prompt
+    pos = np.zeros(BUCKET, np.int32)
+    pos[:n] = np.arange(n)
+    slots = np.full(BUCKET, -1, np.int32)
+    slots[:n] = np.arange(n)
+    pt = np.full(MAXP, -1, np.int32)
+    pt[: (n + PAGE - 1) // PAGE] = np.arange((n + PAGE - 1) // PAGE)
+    meta = PrefillMeta(
+        positions=jnp.asarray(pos),
+        slot_mapping=jnp.asarray(slots),
+        page_table=jnp.asarray(pt),
+        cache_len=jnp.int32(0),
+        q_len=jnp.int32(n),
+    )
+    logits, cache = L.forward_prefill(params, cfg, rope, jnp.asarray(tok), meta, cache)
+    out = [int(np.argmax(np.asarray(logits)))]
+    while len(out) < max_new and out[-1] != EOS:
+        p = n + len(out) - 1
+        used = p // PAGE + 1
+        ptb = np.full((1, MAXP), -1, np.int32)
+        ptb[0, :used] = np.arange(used)
+        dmeta = DecodeMeta(
+            positions=jnp.asarray([p], jnp.int32),
+            slot_mapping=jnp.asarray([p], jnp.int32),
+            page_tables=jnp.asarray(ptb),
+            context_lens=jnp.asarray([p + 1], jnp.int32),
+        )
+        dl, cache = L.forward_decode(
+            params, cfg, rope, jnp.asarray([out[-1]], jnp.int32), dmeta, cache
+        )
+        out.append(int(np.argmax(np.asarray(dl[0]))))
+    if out and out[-1] == EOS:
+        out = out[:-1]
+    return out
+
+
+def test_engine_mla_matches_naive_greedy(tiny_mla_model):
+    """The full serving engine over an MLA (latent-cache) model."""
+    cfg, params = tiny_mla_model
+    rng = np.random.RandomState(4)
+    prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (5, 13)]
+    expected = [naive_greedy_mla(cfg, params, p, 6) for p in prompts]
+
+    llm = make_llm((cfg, params))
+    with DynamicBatchGenerator(llm) as gen:
+        results = gen.batch_generate(prompts, GeneratorArg(max_length=6))
+    got = [r.outputs[0].token_ids for r in results]
+    assert got == expected

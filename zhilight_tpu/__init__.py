@@ -9,6 +9,20 @@ DeepSeek-V2/V3 model families (MoE + MLA), weight quantization
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # Environments that preload jax before user code (e.g. via sitecustomize)
+    # freeze the config defaults before scripts can set the env var, silently
+    # disabling the persistent compilation cache; re-apply it here so every
+    # entry point that sets JAX_COMPILATION_CACHE_DIR actually gets caching.
+    import jax as _jax
+
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+
 from .config import (
     EngineConfig,
     ModelConfig,

@@ -175,11 +175,16 @@ def profile(name, step, args):
         print(f"    {t/3000/K:8.3f} ms/step  {n[:70]}", flush=True)
 
 
+# production always pins output formats (load-bearing: 213->23 tok/s
+# without them); unpinned programs also compile pathologically slowly
+# (>35 min vs minutes), so the bisect holds pins fixed and varies the
+# loop contents instead: (ys, sampler, pins)
 VARIANTS = {
-    "bare": (False, False, False),
-    "+ys": (True, False, False),
-    "+sampler": (True, True, False),
     "full": (True, True, True),
+    "noys": (False, True, True),
+    "nosampler": (True, False, True),
+    "plain": (False, False, True),
+    "bare": (False, False, False),
 }
 
 if __name__ == "__main__":

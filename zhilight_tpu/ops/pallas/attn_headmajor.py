@@ -1,0 +1,172 @@
+"""Pallas TPU kernel: paged decode attention over a HEAD-MAJOR packed pool.
+
+Candidate replacement for the slot-major packed kernel
+(paged_attention._kernel_bs): the pool is ``[Hkv, N_slots, 2D]`` (K|V
+lane-packed), so a fetched page block arrives ``[Hkv, S, 2D]`` — already
+batch-leading for Mosaic's batched ``dot_general``, removing the per-block
+``swapaxes`` relayout that dominates the slot-major kernel's device time.
+
+Both matmuls stream the SAME fetched buffer at full lane width:
+
+  q_eff = [q | 0]                  # zero lanes over the V half
+  s     = q_eff @ kv^T             # = q . K   (V half hits zeros)
+  out   = p @ kv                   # [.. | sum p*V] — take the V lanes
+
+so K and V are read once from VMEM with no lane slicing before the dots
+(reference fused decode kernels read K/V twice from separate buffers;
+attention_kernel.cu:539-1100).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["paged_decode_attention_hm"]
+
+NEG_INF = -2.0e38
+
+
+def _kernel_hm(
+    # scalar prefetch
+    page_tables_ref,   # [B, maxp]
+    context_lens_ref,  # [B]
+    # blocks
+    *refs,
+    page_size: int,
+    fetch_pages: int,
+    num_blocks: int,
+    scale: float,
+    sliding_window: int,
+    packed_dim: int,   # D (V half starts here)
+):
+    q_ref = refs[0]                       # [1, Hkv, G, 2D] (q zero-padded)
+    kv_refs = refs[1 : 1 + fetch_pages]   # each [Hkv, S, 2D]
+    o_ref, m_ref, l_ref, acc_ref = refs[1 + fetch_pages :]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ctx = context_lens_ref[b]
+    S, FPB = page_size, fetch_pages
+    D2 = packed_dim * 2
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    num_valid_pages = pl.cdiv(ctx, S)
+
+    @pl.when((i * FPB) < num_valid_pages)
+    def _compute():
+        q = q_ref[0]                      # [Hkv, G, 2D] (upper D lanes zero)
+        kv = jnp.concatenate([r[:] for r in kv_refs], axis=1)  # [Hkv, T, 2D]
+        # scores: batched over heads, contract the full packed width — the
+        # V half of kv meets q's zero lanes and drops out
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32),
+            kv.astype(jnp.float32),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                          # [Hkv, G, T]
+        token_idx = i * (FPB * S) + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=2
+        )
+        mask = token_idx < ctx
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, token_idx > ctx - 1 - sliding_window)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # p @ kv streams the same buffer; lanes [D:] accumulate sum(p * V)
+        upd = jax.lax.dot_general(
+            p,
+            kv.astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                  # [Hkv, G, 2D]
+        acc_ref[...] = acc_ref[...] * alpha + upd
+        m_ref[...] = m_new
+
+    @pl.when(i == num_blocks - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[...], 1e-20)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def paged_decode_attention_hm(
+    q: jax.Array,         # [B, Hq, D]
+    kv_pool: jax.Array,   # [Hkv, N_slots, 2D] head-major K|V packed
+    page_tables: jax.Array,
+    context_lens: jax.Array,
+    page_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    fetch_pages: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    Hkv, N, D2 = kv_pool.shape
+    S = page_size
+    G = Hq // Hkv
+    maxp = page_tables.shape[1]
+    FPB = min(fetch_pages, maxp)
+    num_blocks = (maxp + FPB - 1) // FPB
+
+    # zero-pad q over the V lanes so the score dot runs the full packed width
+    q_g = jnp.pad(q.reshape(B, Hkv, G, D), ((0, 0), (0, 0), (0, 0), (0, D2 - D)))
+    safe_tables = jnp.maximum(page_tables, 0)
+
+    def q_index(b, i, *_):
+        return (b, 0, 0, 0)
+
+    def kv_index_at(j):
+        def kv_index(b, i, page_tables_ref, context_lens_ref):
+            ctx = context_lens_ref[b]
+            valid = pl.cdiv(ctx, S)
+            pos = i * FPB + j
+            page = page_tables_ref[b, jnp.minimum(pos, jnp.maximum(valid - 1, 0))]
+            return (0, page, 0)
+
+        return kv_index
+
+    kv_specs = [pl.BlockSpec((Hkv, S, D2), kv_index_at(j)) for j in range(FPB)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, num_blocks),
+        in_specs=[pl.BlockSpec((1, Hkv, G, D2), q_index)] + kv_specs,
+        out_specs=pl.BlockSpec((1, Hkv, G, D2), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, D2), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_hm,
+        page_size=S,
+        fetch_pages=FPB,
+        num_blocks=num_blocks,
+        scale=scale,
+        sliding_window=sliding_window,
+        packed_dim=D,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D2), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(safe_tables, context_lens, q_g, *([kv_pool] * FPB))
+    # V accumulation lives in the upper D lanes
+    return out[..., D:].reshape(B, Hq, D)

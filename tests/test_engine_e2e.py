@@ -297,3 +297,33 @@ def test_engine_mla_matches_naive_greedy(tiny_mla_model):
         results = gen.batch_generate(prompts, GeneratorArg(max_length=6))
     got = [r.outputs[0].token_ids for r in results]
     assert got == expected
+
+
+def test_late_joiner_carry_invalidation(tiny_model):
+    """A task that finishes prefilling while another decodes must not chain
+    from the stale device-resident decode carry (its row held token 0/ctx 0).
+
+    Regression: the carry invalidation fired at _assign time and was consumed
+    by decode windows that ran during the joiner's chunked prefill; geometry
+    chosen so the joiner allocates NO page at its first decode window (page
+    allocation separately invalidates the carry, masking the bug)."""
+    cfg, params = tiny_model
+    rng = np.random.RandomState(7)
+    p1 = list(rng.randint(2, VOCAB, size=5))
+    p2 = list(rng.randint(2, VOCAB, size=9))  # 2 chunks; fits page with room
+
+    e1 = naive_greedy(cfg, params, p1, 8)
+    e2 = naive_greedy(cfg, params, p2, 8)
+
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=16, num_pages=16),
+        scheduler=SchedulerConfig(
+            max_batch=4, chunk_size=8, prefill_buckets=(8, 16, 32), eos_id=EOS
+        ),
+    )
+    llm = LLM(model_config=cfg, params=params, engine_config=ecfg)
+    with DynamicBatchGenerator(llm) as gen:
+        rs = gen.batch_generate([p1, p2], GeneratorArg(max_length=8))
+    assert rs[0].outputs[0].token_ids == e1
+    assert rs[1].outputs[0].token_ids == e2

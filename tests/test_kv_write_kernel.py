@@ -94,3 +94,36 @@ def test_write_rows_2d_pair(T):
     wv = _ref_scatter(v_cache.reshape(N, -1), v_rows.reshape(T, -1), slots).reshape(N, H, D)
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+
+
+@pytest.mark.parametrize("T,H", [(1, 4), (8, 36), (16, 12), (64, 36)])
+def test_write_rows_hm_matches_scatter(T, H):
+    """Head-major pool [H, N, X] writes (decode RMW + prefill page runs)."""
+    from zhilight_tpu.ops.pallas.kv_write import write_rows_hm
+
+    S, P, X = 16, 24, 128
+    rng = np.random.RandomState(T + H)
+    pool = rng.randn(H, P * S, X).astype(np.float32)
+    rows = rng.randn(T, H, X).astype(np.float32)
+    if T >= 2 * S:
+        # prefill contract: page-aligned runs, valid rows form page prefixes
+        slots = np.arange(T, dtype=np.int32) + S
+        slots[-3:] = -1  # partial tail page
+    else:
+        # decode contract: each token's page is exclusive to its sequence
+        pages = rng.choice(P, size=T, replace=False)
+        slots = np.array(
+            [pg * S + rng.randint(S) for pg in pages], np.int32
+        )
+        if T > 2:
+            slots[1] = -1  # skipped row
+
+    want = pool.copy()
+    for t, sl in enumerate(slots):
+        if sl >= 0:
+            want[:, sl] = rows[t]
+
+    got = write_rows_hm(
+        jnp.asarray(pool), jnp.asarray(rows), jnp.asarray(slots), S, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)

@@ -23,6 +23,11 @@ if args.cpu or args.expected_only:
 import numpy as np
 
 import jax
+
+if args.cpu or args.expected_only:
+    # the axon sitecustomize preloads jax with the TPU plugin pinned;
+    # env vars alone don't override it
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from zhilight_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig

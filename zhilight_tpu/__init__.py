@@ -11,17 +11,24 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Environments that preload jax before user code (e.g. via sitecustomize)
+# freeze config defaults before scripts can set env vars; re-apply the ones
+# this package's entry points rely on so JAX_COMPILATION_CACHE_DIR /
+# JAX_PLATFORMS set in the launching shell or script actually take effect.
 if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    # Environments that preload jax before user code (e.g. via sitecustomize)
-    # freeze the config defaults before scripts can set the env var, silently
-    # disabling the persistent compilation cache; re-apply it here so every
-    # entry point that sets JAX_COMPILATION_CACHE_DIR actually gets caching.
     import jax as _jax
 
     if not _jax.config.jax_compilation_cache_dir:
         _jax.config.update(
             "jax_compilation_cache_dir", _os.environ["JAX_COMPILATION_CACHE_DIR"]
         )
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backends already initialized; too late to switch
 
 from .config import (
     EngineConfig,

@@ -198,11 +198,18 @@ class ModelExecutor:
                     cfg.jax_dtype,
                     sharding=NamedSharding(self.mesh, P()),
                 )
-            # slot-major layout [N_slots, H, D]: KV heads sharded over tp.
-            # stacked models use ONE pool with num_layers * num_pages pages;
-            # the scan body offsets page indices by layer (models/stacked.py)
+            # KV heads sharded over tp: slot-major [N_slots, H, D] pools
+            # put heads on dim 1; packed pools are head-major [H, N, 2D]
+            # (dim 0). stacked models use ONE pool with num_layers*num_pages
+            # pages; the scan body offsets page indices by layer
+            # (models/stacked.py)
+            from ..kvcache.paged import _use_packed
+
             layers = 1 if self.stacked else cfg.num_layers
             pages = self.num_pages * (cfg.num_layers if self.stacked else 1)
+            quantized = self.cache_cfg.kv_dtype == "int8"
+            packed = _use_packed(cfg.dim_head, quantized)
+            kv_spec = P(TP_AXIS, None, None) if packed else P(None, TP_AXIS, None)
             return new_kv_cache(
                 layers,
                 pages,
@@ -210,8 +217,8 @@ class ModelExecutor:
                 cfg.num_kv_heads,
                 cfg.dim_head,
                 cfg.jax_dtype,
-                quantized=self.cache_cfg.kv_dtype == "int8",
-                kv_sharding=NamedSharding(self.mesh, P(None, TP_AXIS, None)),
+                quantized=quantized,
+                kv_sharding=NamedSharding(self.mesh, kv_spec),
                 scale_sharding=NamedSharding(self.mesh, P(None, TP_AXIS)),
             )
 
@@ -396,6 +403,10 @@ class ModelExecutor:
             oob = jnp.where(dst >= 0, dst, cache.num_slots)
 
             def upd(arr):
+                # packed pools are head-major: slots live on dim 1
+                if cache.packed:
+                    rows = arr[:, safe_src]
+                    return arr.at[:, oob].set(rows, mode="drop")
                 lead = arr.shape[0]
                 flat = arr.reshape(lead, -1)
                 rows = flat[safe_src]

@@ -472,6 +472,11 @@ class Scheduler:
         task.first_token_ts = time.monotonic()
         self.prefilling.pop(0)
         task.status = TaskStatus.DECODE
+        # the slot set changes NOW — not at _assign time: decode windows run
+        # while this task was still prefilling and consume the _assign-time
+        # invalidation, after which the next window would chain from a
+        # device carry whose row for this slot is stale (token 0, ctx 0)
+        self._decode_clean = False
         if beams > 1:
             self._init_beam_group(task, toplp, toptok)
         else:

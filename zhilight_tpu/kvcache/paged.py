@@ -57,7 +57,7 @@ class KVCache:
     path, transformer_buffer.h:14-16). ``page_size`` is static metadata.
     """
 
-    k: Optional[Arrays] = None          # per layer [N_slots, H, D]; packed: [N_slots, H, 2D]
+    k: Optional[Arrays] = None          # per layer [N_slots, H, D]; packed: HEAD-MAJOR [H, N_slots, 2D]
     v: Optional[Arrays] = None          # None when packed (V in K's upper lanes)
     latent: Optional[Arrays] = None     # per layer [N_slots, latent]
     k_scale: Optional[Arrays] = None    # per layer [N_slots, H]
@@ -89,6 +89,9 @@ class KVCache:
 
     @property
     def num_slots(self) -> int:
+        # packed pools are head-major [H, N, 2D]; others slot-major
+        if self.packed:
+            return self._ref.shape[1]
         return self._ref.shape[0]
 
     @property
@@ -157,7 +160,10 @@ def new_kv_cache(
     scale_sharding=None,
 ) -> KVCache:
     if _use_packed(head_dim, quantized):
-        shape = (num_pages * page_size, num_kv_heads, 2 * head_dim)
+        # HEAD-MAJOR [H, N, 2D]: page fetches arrive batch-leading for the
+        # decode kernel's batched dots (no per-block transpose), and page
+        # write windows (H, S, 2D) are DMA-legal for any head count
+        shape = (num_kv_heads, num_pages * page_size, 2 * head_dim)
         mk = tuple(alloc_zeros(shape, dtype, kv_sharding) for _ in range(num_layers))
         return KVCache(k=mk, page_size=page_size, packed=True)
     shape = (num_pages * page_size, num_kv_heads, head_dim)
@@ -230,14 +236,16 @@ def write_kv(
         rows = jnp.concatenate(
             [k_new.astype(cache.k[layer].dtype), v_new.astype(cache.k[layer].dtype)],
             axis=-1,
-        )
+        )  # [T, H, 2D]
         if _pallas_writes_on():
-            from ..ops.pallas.kv_write import write_rows_2d
+            from ..ops.pallas.kv_write import write_rows_hm
 
-            kv = write_rows_2d(cache.k[layer], rows, slot_mapping, cache.page_size)
+            kv = write_rows_hm(cache.k[layer], rows, slot_mapping, cache.page_size)
         else:
             idx = jnp.where(slot_mapping >= 0, slot_mapping, cache.num_slots)
-            kv = _scatter_rows(cache.k[layer], idx, rows)
+            kv = cache.k[layer].at[:, idx].set(
+                jnp.swapaxes(rows, 0, 1), mode="drop"
+            )
         return cache.set_layer(layer, k=kv)
 
     if not cache.quantized and _pallas_writes_on() and feature % 128 == 0:
@@ -322,7 +330,7 @@ def gather_kv(
     """
     slots = _slot_indices(page_indices, cache.page_size)
     if cache.packed:
-        kv = cache.k[layer][slots]
+        kv = jnp.moveaxis(cache.k[layer][:, slots], 0, -2)  # [..., KV, H, 2D]
         d = kv.shape[-1] // 2
         return kv[..., :d], kv[..., d:]
     k = cache.k[layer][slots]

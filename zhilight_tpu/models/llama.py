@@ -112,7 +112,12 @@ def _use_fused_write(cfg: ModelConfig, cache: KVCache) -> bool:
     24.7 ms unfused / 30.8 ms fused, profiled 2026-08-16)."""
     import os
 
-    return os.environ.get("ZT_FUSED_KV") == "1" and not cache.quantized
+    # packed pools are head-major now; the fused kernel is slot-major only
+    return (
+        os.environ.get("ZT_FUSED_KV") == "1"
+        and not cache.quantized
+        and not cache.packed
+    )
 
 
 def attention_layer(
@@ -187,19 +192,30 @@ def attention_layer(
             scale,
             cfg.sliding_window,
         )
+    elif _use_pallas_decode(cfg, cache) and cache.packed:
+        from ..ops.pallas.attn_headmajor import paged_decode_attention_hm
+
+        out = paged_decode_attention_hm(
+            q,
+            cache.k[layer_idx],
+            meta.page_tables,
+            meta.context_lens,
+            cache.page_size,
+            scale,
+            cfg.sliding_window,
+        )
     elif _use_pallas_decode(cfg, cache):
         from ..ops.pallas.paged_attention import paged_decode_attention
 
         out = paged_decode_attention(
             q,
             cache.k[layer_idx],
-            cache.k[layer_idx] if cache.packed else cache.v[layer_idx],
+            cache.v[layer_idx],
             meta.page_tables,
             meta.context_lens,
             cache.page_size,
             scale,
             cfg.sliding_window,
-            packed=cache.packed,
         )
     else:
         ck, cv = gather_kv(cache, layer_idx, meta.page_tables)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["paged_write_rows", "write_rows_2d", "write_rows_2d_pair"]
+__all__ = ["paged_write_rows", "write_rows_2d", "write_rows_2d_pair", "write_rows_hm"]
 
 
 def _decode_kernel(slots_ref, rows_k, rows_v, k_in, v_in, k_out, v_out, sems, *, T):
@@ -470,3 +470,171 @@ def write_rows_2d_pair(
         interpret=interpret,
     )(slot_mapping, rk, rv, k2, v2)
     return ko.reshape(shape), vo.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Head-major pool writes: pool [Hkv, N_slots, X].
+#
+# Page windows (Hkv, S, X) slice only the middle (slot) dim with the trailing
+# two dims (S, X) tile-aligned for ANY head count — the constraint that
+# forced slot-major pools through flat 2-D views (probed on v5e:
+# tools/probe_fused_writeback.py) disappears in this layout. Decode rows are
+# merged by a read-modify-write of the token's page; prefill rows stream in
+# page-sized windows from HBM.
+# ---------------------------------------------------------------------------
+
+
+def _rmw_decode_kernel_hm(slots_ref, rows, c_in, c_out, pbuf, sems, *, T, S):
+    """Per-token page RMW; rows [Hkv, T, X] in VMEM (head-major)."""
+    del c_in
+
+    def page_start(t):
+        return (slots_ref[t] // S) * S
+
+    for t in range(T):
+        @pl.when(slots_ref[t] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[:, pl.ds(page_start(t), S)], pbuf.at[t], sems.at[t]
+            ).start()
+    for t in range(T):
+        @pl.when(slots_ref[t] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[:, pl.ds(page_start(t), S)], pbuf.at[t], sems.at[t]
+            ).wait()
+            off = slots_ref[t] - page_start(t)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+            pbuf[t] = jnp.where(row_ids == off, rows[:, pl.ds(t, 1), :], pbuf[t])
+            pltpu.make_async_copy(
+                pbuf.at[t], c_out.at[:, pl.ds(page_start(t), S)], sems.at[t]
+            ).start()
+    for t in range(T):
+        @pl.when(slots_ref[t] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                pbuf.at[t], c_out.at[:, pl.ds(page_start(t), S)], sems.at[t]
+            ).wait()
+
+
+def _page_write_kernel_hm(
+    slots_ref, rows, c_in, c_out, page_buf, row_buf, sems, psem, *, T, S
+):
+    """Prefill page-run writes; rows [Hkv, T, X] in HBM, staged per page."""
+    del c_in
+    n_pages = T // S
+
+    def first(i):
+        return slots_ref[i * S]
+
+    def dst_of(i):
+        return (first(i) // S) * S
+
+    def valid(i):
+        return first(i) >= 0
+
+    def full(i):
+        return jnp.logical_and(valid(i), slots_ref[i * S + S - 1] >= 0)
+
+    @pl.when(valid(0))
+    def _():
+        pltpu.make_async_copy(
+            rows.at[:, pl.ds(0, S)], row_buf.at[0], sems.at[0]
+        ).start()
+
+    for i in range(n_pages):
+        slot = i % 2
+        nxt = (i + 1) % 2
+        if i + 1 < n_pages:
+            @pl.when(valid(i + 1))
+            def _():
+                pltpu.make_async_copy(
+                    rows.at[:, pl.ds((i + 1) * S, S)], row_buf.at[nxt], sems.at[nxt]
+                ).start()
+
+        @pl.when(valid(i))
+        def _():
+            dst = dst_of(i)
+
+            @pl.when(jnp.logical_not(full(i)))
+            def _():
+                pltpu.make_async_copy(
+                    c_out.at[:, pl.ds(dst, S)], page_buf, psem
+                ).start()
+                pltpu.make_async_copy(
+                    c_out.at[:, pl.ds(dst, S)], page_buf, psem
+                ).wait()
+
+            pltpu.make_async_copy(
+                rows.at[:, pl.ds(i * S, S)], row_buf.at[slot], sems.at[slot]
+            ).wait()
+
+            @pl.when(full(i))
+            def _():
+                page_buf[...] = row_buf[slot]
+
+            @pl.when(jnp.logical_not(full(i)))
+            def _():
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+                cnt = jnp.int32(0)
+                for j in range(S):
+                    cnt = cnt + jnp.where(slots_ref[i * S + j] >= 0, 1, 0)
+                page_buf[...] = jnp.where(row_ids < cnt, row_buf[slot], page_buf[...])
+
+            pltpu.make_async_copy(page_buf, c_out.at[:, pl.ds(dst, S)], psem).start()
+            pltpu.make_async_copy(page_buf, c_out.at[:, pl.ds(dst, S)], psem).wait()
+
+
+def write_rows_hm(
+    pool: jax.Array,  # [Hkv, N_slots, X] head-major
+    rows: jax.Array,  # [T, Hkv, X] (token-major, as produced by projections)
+    slot_mapping: jax.Array,  # [T]; <0 => skip
+    page_size: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """In-place row writes into a head-major pool; returns the pool."""
+    T, S = rows.shape[0], page_size
+    H, N, X = pool.shape
+    # transpose once in XLA (tiny for decode; one page-sized op per chunk
+    # for prefill) so the kernel's DMAs are pure page windows
+    rows_hm = jnp.swapaxes(rows.astype(pool.dtype), 0, 1)  # [Hkv, T, X]
+    HBM = pltpu.MemorySpace.HBM
+
+    if T >= 2 * S and T % S == 0:
+        kernel = functools.partial(_page_write_kernel_hm, T=T, S=S)
+        in_specs = [
+            pl.BlockSpec(memory_space=HBM),
+            pl.BlockSpec(memory_space=HBM),
+        ]
+        scratch = [
+            pltpu.VMEM((H, S, X), pool.dtype),     # page merge buffer
+            pltpu.VMEM((2, H, S, X), pool.dtype),  # double-buffered row pages
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        kernel = functools.partial(_rmw_decode_kernel_hm, T=T, S=S)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=HBM),
+        ]
+        scratch = [
+            pltpu.VMEM((T, H, S, X), pool.dtype),
+            pltpu.SemaphoreType.DMA((T,)),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=HBM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        input_output_aliases={2: 0},  # slots=0, rows=1, pool=2
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(slot_mapping, rows_hm, pool)

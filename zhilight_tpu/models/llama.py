@@ -28,7 +28,7 @@ from ..ops.activations import gated_act
 from ..ops.attention import decode_attention, prefill_attention
 from ..ops.linear import linear
 from ..ops.norms import layer_norm, rms_norm
-from ..ops.rope import RopeTable, apply_rope, build_rope_table
+from ..ops.rope import RopeTable, apply_rope_rot, build_rope_table
 from .base import DecodeMeta, PrefillMeta
 
 __all__ = ["build_rope", "init_params", "forward_prefill", "forward_decode", "get_logits"]
@@ -130,15 +130,18 @@ def attention_layer(
     layer_idx: int,
     meta,
     mode: str,
+    rot=None,
 ) -> Tuple[jax.Array, KVCache]:
     """Standard / GQA attention with paged cache (reference nn::Attention
     dyn_rag_forward, src/nn/attention/attention.cpp:442-700)."""
     n = x.shape[0]
     q, k, v = _qkv(p, cfg, x)
     q, k = _maybe_qk_norm(p, cfg, q, k)
-    cos, sin = rope.cos_sin(positions)
-    q = apply_rope(q, cos, sin, rope.neox_style)
-    k = apply_rope(k, cos, sin, rope.neox_style)
+    if rot is None:
+        rot = rope.rot_values(positions)
+    cos_f, sin_f = rot
+    q = apply_rope_rot(q, cos_f, sin_f, rope.neox_style)
+    k = apply_rope_rot(k, cos_f, sin_f, rope.neox_style)
 
     scale = 1.0 / math.sqrt(cfg.dim_head)
 
@@ -262,6 +265,7 @@ def decoder_layer(
     layer_idx: int,
     meta,
     mode: str,
+    rot=None,  # shared full-width (cos, sin) computed once per forward
 ) -> Tuple[jax.Array, KVCache]:
     """Pre-LN block (reference nn::EncoderLayer, src/nn/block/block.cpp):
     sequential residual by default, Cohere parallel variant (block.cpp:444-481),
@@ -277,12 +281,16 @@ def decoder_layer(
 
     if cfg.parallel_residual:
         h = _norm(p["ln_attn"], cfg, x)
-        attn_out, cache = attn_fn(p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode)
+        attn_out, cache = attn_fn(
+            p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode, rot=rot
+        )
         ff_out = mlp_layer(p["mlp"], cfg, h, layer_idx)
         return x + attn_out + ff_out, cache
 
     h = _norm(p["ln_attn"], cfg, x)
-    attn_out, cache = attn_fn(p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode)
+    attn_out, cache = attn_fn(
+        p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode, rot=rot
+    )
     x = x + attn_out * res_scale
     h = _norm(p["ln_ff"], cfg, x)
     ff_out = mlp_layer(p["mlp"], cfg, h, layer_idx)
@@ -315,9 +323,11 @@ def backbone(
     """Embedding -> N blocks -> final norm. ``input_embeddings`` overrides the
     token embedding (multimodal path — reference SearchTask.input_embeddings)."""
     x = embed(params, cfg, tokens) if input_embeddings is None else input_embeddings
+    rot = rope.rot_values(positions)  # shared by every layer (one gather)
     for i in range(cfg.num_layers):
         x, cache = decoder_layer(
-            params["layers"][str(i)], cfg, rope, x, positions, cache, i, meta, mode
+            params["layers"][str(i)], cfg, rope, x, positions, cache, i, meta, mode,
+            rot=rot,
         )
     return _norm(params["final_norm"], cfg, x), cache
 

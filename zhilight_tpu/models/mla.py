@@ -31,7 +31,7 @@ from ..kvcache.paged import KVCache, gather_latent, write_latent
 from ..ops.attention import NEG_INF
 from ..ops.linear import linear
 from ..ops.norms import rms_norm
-from ..ops.rope import RopeTable, apply_rope
+from ..ops.rope import RopeTable, apply_rope_rot
 
 __all__ = ["mla_attention_layer", "mla_softmax_scale"]
 
@@ -87,19 +87,22 @@ def mla_attention_layer(
     layer_idx: int,
     meta,
     mode: str,
+    rot=None,
 ) -> Tuple[jax.Array, KVCache]:
     m = cfg.mla
     T = x.shape[0]
     scale = mla_softmax_scale(cfg)
 
     q_nope, q_pe = _project_q(p, cfg, x)
-    cos, sin = rope.cos_sin(positions)
-    q_pe = apply_rope(q_pe, cos, sin, rope.neox_style)
+    if rot is None:
+        rot = rope.rot_values(positions)
+    cos_f, sin_f = rot
+    q_pe = apply_rope_rot(q_pe, cos_f, sin_f, rope.neox_style)
 
     kv_a = linear(p["kv_a_proj"], x)  # [T, lora + rope]
     c_kv = rms_norm(kv_a[..., : m.kv_lora_rank], p["kv_a_norm"]["w"], cfg.eps)
     k_pe = kv_a[..., m.kv_lora_rank :][:, None, :]  # [T, 1, rope]
-    k_pe = apply_rope(k_pe, cos, sin, rope.neox_style)[:, 0]  # [T, rope]
+    k_pe = apply_rope_rot(k_pe, cos_f, sin_f, rope.neox_style)[:, 0]  # [T, rope]
 
     latent = jnp.concatenate([c_kv, k_pe], axis=-1)  # [T, latent_dim]
     w_uk, w_uv = _kv_b_weights(p, cfg)

@@ -79,7 +79,7 @@ def stack_params(cfg: ModelConfig, params: Params, consume: Optional[bool] = Non
     return out
 
 
-def _layer_body(cfg: ModelConfig, rope, pages_per_layer: int, mode: str):
+def _layer_body(cfg: ModelConfig, rope, pages_per_layer: int, mode: str, rot=None):
     """Returns the scan body over (x, cache) with per-layer params + index."""
     slots_per_layer = None  # bound at call time from cache
 
@@ -112,7 +112,7 @@ def _layer_body(cfg: ModelConfig, rope, pages_per_layer: int, mode: str):
                 cache_len=meta.cache_len,
                 q_len=meta.q_len,
             )
-        x, cache = L.decoder_layer(p, cfg, rope, x, meta.positions, cache, 0, meta_l, mode)
+        x, cache = L.decoder_layer(p, cfg, rope, x, meta.positions, cache, 0, meta_l, mode, rot=rot)
         return (x, cache, meta), None
 
     return body
@@ -121,7 +121,8 @@ def _layer_body(cfg: ModelConfig, rope, pages_per_layer: int, mode: str):
 def _backbone(params, cfg, rope, tokens, cache, meta, mode, input_embeddings=None):
     x = L.embed(params, cfg, tokens) if input_embeddings is None else input_embeddings
     pages_per_layer = cache.num_pages // cfg.num_layers
-    body = _layer_body(cfg, rope, pages_per_layer, mode)
+    rot = rope.rot_values(meta.positions)  # shared across the layer scan
+    body = _layer_body(cfg, rope, pages_per_layer, mode, rot=rot)
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     # unroll=2: XLA forwards the carried pool buffers between alternating
     # unrolled bodies; unroll=1 copies the whole pool every layer (same

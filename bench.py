@@ -81,12 +81,19 @@ def main():
     )
 
     t0 = time.perf_counter()
+    pending = None
     for w in range(WINDOWS):
-        # production steady-state: chain from the device-resident carry
-        tok, _, _, _ = ex.run_decode_multi(
+        # production steady-state: chain from the device-resident carry and
+        # dispatch window w+1 before fetching w (the scheduler pipelines
+        # decode windows the same way)
+        handle = ex.run_decode_multi(
             tokens, page_tables, positions, context_lens, limits, sparams, K,
-            greedy_only=True, reuse_carry=True,
+            greedy_only=True, reuse_carry=True, fetch=False,
         )
+        if pending is not None:
+            ex.fetch(pending)
+        pending = handle
+    ex.fetch(pending)
     dt = time.perf_counter() - t0
 
     toks_per_s = BATCH * K * WINDOWS / dt

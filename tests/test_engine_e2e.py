@@ -327,3 +327,26 @@ def test_late_joiner_carry_invalidation(tiny_model):
         rs = gen.batch_generate([p1, p2], GeneratorArg(max_length=8))
     assert rs[0].outputs[0].token_ids == e1
     assert rs[1].outputs[0].token_ids == e2
+
+
+def test_pipelined_windows_staggered_finish(tiny_model):
+    """Pipelined decode windows (speculative dispatch before fetching the
+    previous window): tasks finishing at different times must still produce
+    exact greedy outputs, and late arrivals must drain the in-flight window
+    cleanly."""
+    cfg, params = tiny_model
+    rng = np.random.RandomState(9)
+    prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (5, 9, 13, 17)]
+    lengths = [3, 12, 6, 9]  # staggered finish, none a window multiple
+
+    expected = [
+        naive_greedy(cfg, params, p, m) for p, m in zip(prompts, lengths)
+    ]
+
+    llm = make_llm(tiny_model, decode_multi_step=4, max_batch=3)
+    with DynamicBatchGenerator(llm) as gen:
+        results = gen.batch_generate(
+            prompts, [GeneratorArg(max_length=m) for m in lengths]
+        )
+    got = [r.outputs[0].token_ids for r in results]
+    assert got == expected

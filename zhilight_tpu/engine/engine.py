@@ -585,9 +585,13 @@ class ModelExecutor:
         penalties: Optional[Tuple[np.ndarray, np.ndarray]] = None,  # ([B,NP] tok, [B,NP] val)
         greedy_only: bool = False,
         reuse_carry: bool = False,
+        fetch: bool = True,
     ):
         """Returns (tokens [K, B], logprobs [K, B], top_lp [K, B, L],
         top_tok [K, B, L]); the host discards entries past each slot's limit.
+        ``fetch=False`` returns the device arrays without blocking (dispatch
+        is async) — pass them to :meth:`fetch` later; the scheduler overlaps
+        the next window's device time with host-side result processing.
 
         ``reuse_carry=True`` chains from the previous window's device-resident
         (tokens, positions, context_lens, page_tables, limits) instead of
@@ -629,7 +633,14 @@ class ModelExecutor:
             pen_val,
         )
         self._decode_carry = (key, c_tok, c_pos, c_ctx, d_pt, d_lim)
+        if not fetch:
+            return (tok, lp, toplp, toptok)
         return jax.device_get((tok, lp, toplp, toptok))
+
+    @staticmethod
+    def fetch(handle):
+        """Block on and download a ``fetch=False`` result."""
+        return jax.device_get(handle)
 
     def run_decode(
         self,

@@ -74,6 +74,13 @@ class Scheduler:
         # device-resident decode carry validity: True when the next decode
         # window may chain from device state without re-uploading
         self._decode_clean = False
+        # pipelined decode windows: the dispatched-but-unfetched window, a
+        # flag marking that a chained window is in flight over the current
+        # slot set, and finished tasks whose page release is deferred until
+        # that window drains (its writes still target their pages)
+        self._pending = None
+        self._spec_inflight = False
+        self._deferred_release: List[SearchTask] = []
         # live beam-search groups keyed by primary task_id
         self.beam_groups: Dict[int, BeamGroup] = {}
         # persistent sessions: id -> (tokens, pages, kv_len); pages stay
@@ -354,6 +361,16 @@ class Scheduler:
                 return False
             task.pages.append(page)
         return True
+
+    def _finish_release(self, task: SearchTask):
+        """Release a finished task's pages — unless a speculative decode
+        window is still in flight over the old slot set (its writes target
+        this task's pages); defer until that window is drained."""
+        if self._spec_inflight:
+            self._deferred_release.append(task)
+            self._decode_clean = False
+            return
+        self._release(task)
 
     def _release(self, task: SearchTask):
         self._decode_clean = False
@@ -672,20 +689,33 @@ class Scheduler:
             self.ex.engine_cfg.max_model_len,
         )
 
-    def _decode_step(self):
-        B = self.max_batch
-        S = self.ex.page_size
-        K = self.ex.decode_window
+    def _force_k1(self) -> bool:
         # ngram penalties depend on the evolving sequence and beam reorders
         # are host-side, so both force single-step windows (mirrors the
         # reference applying them in the scheduler loop)
-        if any(
+        return any(
             t is not None
             and t.status == TaskStatus.DECODE
             and (t.arg.ngram_penalty > 1.0 or getattr(t, "_beam_group", None) is not None)
             for t in self.slots
-        ):
-            K = 1
+        )
+
+    def _can_speculate(self) -> bool:
+        """May the next window be dispatched before this one's results are
+        read? Only in steady-state decode: nothing prefilling or queued (a
+        speculative window would delay their device time), no host-side
+        per-step features, and the device carry valid."""
+        return (
+            self.ex.decode_window > 1
+            and not self.prefilling
+            and self.queue.empty()
+            and not self._force_k1()
+            and self._decode_clean
+        )
+
+    def _build_window(self, K: int):
+        B = self.max_batch
+        S = self.ex.page_size
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)
         page_tables = np.full((B, self.ex.max_pages_per_seq), -1, np.int32)
@@ -718,8 +748,7 @@ class Scheduler:
             active.append(task)
 
         if not active:
-            return
-
+            return None
         num_lp = max(
             (
                 min(2 * t.arg.beam_size, 32)
@@ -730,19 +759,81 @@ class Scheduler:
             default=0,
         )
         greedy_only = all(t.arg.sampling_temperature <= 0.0 for t in active)
-        tok, lp, toplp, toptok = self.ex.run_decode_multi(
-            tokens, page_tables, positions, context_lens, limits,
-            self._sampling_params(), K, num_logprobs=num_lp,
-            bias=self._bias_arrays(), penalties=self._penalty_arrays(active),
-            greedy_only=greedy_only,
-            reuse_carry=self._decode_clean,
+        return dict(
+            tokens=tokens, positions=positions, page_tables=page_tables,
+            context_lens=context_lens, limits=limits, active=active,
+            num_lp=num_lp, greedy_only=greedy_only, K=K,
         )
-        self.step_index += K
-        self._decode_clean = True
 
+    def _dispatch_window(self, w, reuse_carry: bool):
+        handle = self.ex.run_decode_multi(
+            w["tokens"], w["page_tables"], w["positions"], w["context_lens"],
+            w["limits"], self._sampling_params(), w["K"],
+            num_logprobs=w["num_lp"],
+            bias=self._bias_arrays(), penalties=self._penalty_arrays(w["active"]),
+            greedy_only=w["greedy_only"],
+            reuse_carry=reuse_carry,
+            fetch=False,
+        )
+        self.step_index += w["K"]
+        w["handle"] = handle
+        return w
+
+    def _decode_step(self):
+        K = 1 if self._force_k1() else self.ex.decode_window
+
+        if self._pending is not None:
+            # drain the in-flight window; in steady state, dispatch its
+            # successor FIRST so the device keeps working through the host's
+            # result processing (the reference hides per-token latency with
+            # CUDA streams; this is the window-granular equivalent)
+            pend, self._pending = self._pending, None
+            nxt = None
+            if self._can_speculate():
+                nxt = dict(pend)
+                # the device carry advanced a full window for every slot
+                # (speculation requires it); advance the host view to match
+                nxt["context_lens"] = pend["context_lens"] + pend["K"]
+                nxt["positions"] = pend["positions"] + pend["K"]
+                self._dispatch_window(nxt, reuse_carry=True)
+            res = self.ex.fetch(pend["handle"])
+            self._spec_inflight = nxt is not None
+            try:
+                self._process_window(pend, res)
+            finally:
+                self._spec_inflight = False
+            self._pending = nxt
+            if nxt is None:
+                self._flush_deferred()
+            return
+
+        w = self._build_window(K)
+        if w is None:
+            return
+        reuse = self._decode_clean
+        can_spec = self._can_speculate()  # evaluated BEFORE clearing the flag
+        self._dispatch_window(w, reuse_carry=reuse)
+        self._decode_clean = True
+        if can_spec:
+            # leave the window in flight; the next loop iteration drains it
+            # (after dispatching its successor)
+            self._pending = w
+            return
+        self._process_window(w, self.ex.fetch(w["handle"]))
+        self._flush_deferred()
+
+    def _flush_deferred(self):
+        for task in self._deferred_release:
+            self._release(task)
+        self._deferred_release.clear()
+
+    def _process_window(self, w, res):
+        tok, lp, toplp, toptok = res
+        K, num_lp = w["K"], w["num_lp"]
+        context_lens, limits = w["context_lens"], w["limits"]
         handled_groups = set()
-        active_slots = {t.slot for t in active}
-        for task in active:
+        active_slots = {t.slot for t in w["active"]}
+        for task in w["active"]:
             group = getattr(task, "_beam_group", None)
             if group is not None:
                 if id(group) in handled_groups:
@@ -757,6 +848,8 @@ class Scheduler:
                     continue
                 self._beam_update(group, toplp, toptok)
                 continue
+            if task.status != TaskStatus.DECODE:
+                continue  # finished in an earlier window of this pipeline
             b = task.slot
             n_valid = min(K, int(limits[b]) - int(context_lens[b]) + 1)
             if n_valid < K:
@@ -810,7 +903,7 @@ class Scheduler:
                 task.status = TaskStatus.CANCELLED
             else:
                 task.status = TaskStatus.FINISHED
-            self._release(task)
+            self._finish_release(task)
             task.finish()
             self._wake.set()
 

@@ -46,7 +46,7 @@ def _kernel_hm(
 ):
     q_ref = refs[0]                       # [1, Hkv, G, 2D] (q zero-padded)
     kv_refs = refs[1 : 1 + fetch_pages]   # each [Hkv, S, 2D]
-    o_ref, m_ref, l_ref, acc_ref = refs[1 + fetch_pages :]
+    o_ref, m_ref, l_ref, acc_ref = refs[1 + fetch_pages :]  # o: [1,Hkv,G,D]
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -99,7 +99,9 @@ def _kernel_hm(
     @pl.when(i == num_blocks - 1)
     def _finish():
         l = jnp.maximum(l_ref[...], 1e-20)
-        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        # emit only the V lanes — slicing here (VMEM, free) instead of in
+        # XLA saved ~40 async device slices per decode step
+        o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
 
 
 def paged_decode_attention_hm(
@@ -143,7 +145,7 @@ def paged_decode_attention_hm(
         num_scalar_prefetch=2,
         grid=(B, num_blocks),
         in_specs=[pl.BlockSpec((1, Hkv, G, D2), q_index)] + kv_specs,
-        out_specs=pl.BlockSpec((1, Hkv, G, D2), q_index),
+        out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
@@ -162,11 +164,10 @@ def paged_decode_attention_hm(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D2), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(safe_tables, context_lens, q_g, *([kv_pool] * FPB))
-    # V accumulation lives in the upper D lanes
-    return out[..., D:].reshape(B, Hq, D)
+    return out.reshape(B, Hq, D)

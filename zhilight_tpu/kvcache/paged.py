@@ -141,11 +141,15 @@ def alloc_zeros(shape, dtype, sharding=None) -> jax.Array:
 
 
 def _use_packed(head_dim: int, quantized: bool) -> bool:
+    """Lane-packed head-major K|V pools for any head_dim whose packed width
+    tiles the 128-lane registers — including D=128 (the packing is not just
+    a padding fix for D<128: it halves pool count and feeds the head-major
+    kernel, whose zero-padded-q trick reads K and V in one stream)."""
     import os
 
     if os.environ.get("ZT_NO_PACKED_KV") == "1":
         return False
-    return not quantized and head_dim % 128 != 0 and (2 * head_dim) % 128 == 0
+    return not quantized and (2 * head_dim) % 128 == 0
 
 
 def new_kv_cache(

@@ -67,13 +67,15 @@ def _kernel_hm(
         q = q_ref[0]                      # [Hkv, G, 2D] (upper D lanes zero)
         kv = jnp.concatenate([r[:] for r in kv_refs], axis=1)  # [Hkv, T, 2D]
         # scores: batched over heads, contract the full packed width — the
-        # V half of kv meets q's zero lanes and drops out
+        # V half of kv meets q's zero lanes and drops out. Operands stay in
+        # the storage dtype (bf16 MXU passes; fp32 operands run the MXU ~8x
+        # slower) with fp32 accumulation.
         s = jax.lax.dot_general(
-            q.astype(jnp.float32),
-            kv.astype(jnp.float32),
+            q,
+            kv,
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale                          # [Hkv, G, T]
+        ) * scale                          # [Hkv, G, T] fp32
         token_idx = i * (FPB * S) + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=2
         )
@@ -86,13 +88,15 @@ def _kernel_hm(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        # p @ kv streams the same buffer; lanes [D:] accumulate sum(p * V)
+        # p @ kv streams the same buffer; lanes [D:] accumulate sum(p * V).
+        # p is cast to the storage dtype for the MXU (standard flash-
+        # attention practice; exact when the inputs are fp32, e.g. tests)
         upd = jax.lax.dot_general(
-            p,
-            kv.astype(jnp.float32),
+            p.astype(kv.dtype),
+            kv,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                  # [Hkv, G, 2D]
+        )                                  # [Hkv, G, 2D] fp32
         acc_ref[...] = acc_ref[...] * alpha + upd
         m_ref[...] = m_new
 

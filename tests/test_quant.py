@@ -95,6 +95,26 @@ def test_w4a16_pallas_kernel_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-2, atol=1e-2)
 
 
+def test_w4a16_packed_kernel_interpret():
+    """Global-planar packed nibbles (4 bits/weight in HBM) vs dequant ref."""
+    from zhilight_tpu.ops.pallas.quant_matmul import w4a16_matmul
+    from zhilight_tpu.ops.quant import pack_int4, unpack_int4
+
+    rng = np.random.RandomState(7)
+    K, N, gs = 512, 256, 128
+    w_p = jnp.asarray(rng.randint(0, 16, size=(K, N)), jnp.int8)
+    packed = pack_int4(w_p)
+    assert packed.dtype == jnp.uint8 and packed.shape == (K // 2, N)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(w_p))
+
+    scales = jnp.asarray((rng.rand(K // gs, N) + 0.5) * 0.01, jnp.float32)
+    zeros = jnp.asarray(rng.randint(1, 16, size=(K // gs, N)), jnp.float32)
+    x = jnp.asarray(rng.randn(16, K), jnp.float32)
+    ref = jnp.dot(x, dequant_int4(w_p, scales, zeros, jnp.float32))
+    got = w4a16_matmul(x, packed, scales, zeros, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-2, atol=1e-2)
+
+
 def test_int8_w8a8_accuracy():
     rng = np.random.RandomState(3)
     w = rng.randn(128, 64).astype(np.float32) * 0.05

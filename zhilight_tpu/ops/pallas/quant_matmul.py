@@ -23,6 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["w4a16_matmul"]
 
 
+
 def _w4a16_kernel(
     x_ref,  # [TM, TK]
     w_ref,  # [TK, TN] int8 nibbles
@@ -69,26 +70,130 @@ def _pick_tiles(M, K, N, gs):
     return TM, TK, TN
 
 
+def _w4a16_packed_kernel(
+    x_lo_ref,  # [TM, TKh]  activations for the low-nibble rows
+    x_hi_ref,  # [TM, TKh]  activations for the high-nibble rows (k + K/2)
+    w_ref,     # [TKh, TN] uint8: two nibble planes
+    s_ref,     # [G, TN] f32
+    z_ref,     # [G, TN] f32
+    o_ref,     # [TM, TN]
+    acc_ref,   # [TM, TN] f32
+    *,
+    group_size: int,
+    k_steps: int,
+    k_half_groups: int,  # group-row offset of the high plane (K/2 // gs)
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    TKh, TN = w_ref.shape
+    gpb = TKh // group_size
+    # unpack in int32: Mosaic crashes on 8-bit shifts (probed on v5e) and
+    # cannot cast uint8 directly to f32
+    w32 = w_ref[...].astype(jnp.int32)
+    for plane, x_ref, grow0 in (
+        (w32 & 0xF, x_lo_ref, 0),
+        (w32 >> 4, x_hi_ref, k_half_groups),
+    ):
+        wq = plane.astype(jnp.float32)
+        for g in range(gpb):
+            row = grow0 + k * gpb + g
+            sgrp = s_ref[row, :]
+            zgrp = z_ref[row, :]
+            w = (
+                (wq[g * group_size : (g + 1) * group_size, :] - zgrp[None, :])
+                * sgrp[None, :]
+            ).astype(x_lo_ref.dtype)
+            acc_ref[...] += jax.lax.dot(
+                x_ref[:, g * group_size : (g + 1) * group_size],
+                w,
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(k == k_steps - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _w4a16_packed(x2, w_packed, scales, zeros, interpret):
+    """Fused matmul over GLOBAL-PLANAR packed nibbles (quant.pack_int4):
+    packed row r holds original rows r (low nibble) and r + K/2 (high), so
+    each packed k-tile pairs with TWO activation blocks — 4 bits/weight of
+    HBM traffic, no in-VMEM interleave."""
+    Kh, N = w_packed.shape
+    K = 2 * Kh
+    G = scales.shape[0]
+    gs = K // G
+    M = x2.shape[0]
+    TM = min(max(8, M), 256)
+    TKh = gs
+    while TKh < 256 and Kh % (TKh * 2) == 0:
+        TKh *= 2
+    TN = 256 if N % 256 == 0 else 128
+    Mp = (M + TM - 1) // TM * TM
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    k_steps = Kh // TKh
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a16_packed_kernel,
+            group_size=gs,
+            k_steps=k_steps,
+            k_half_groups=Kh // gs,
+        ),
+        grid=(N // TN, Mp // TM, k_steps),
+        in_specs=[
+            pl.BlockSpec((TM, TKh), lambda n, m, k: (m, k)),           # x lo
+            pl.BlockSpec((TM, TKh), lambda n, m, k: (m, k)),           # x hi
+            pl.BlockSpec((TKh, TN), lambda n, m, k: (k, n)),
+            pl.BlockSpec((G, TN), lambda n, m, k: (0, n)),
+            pl.BlockSpec((G, TN), lambda n, m, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda n, m, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2[:, :Kh], x2[:, Kh:], w_packed, scales, zeros)
+    return out[:M] if Mp != M else out
+
+
 def w4a16_matmul(
     x: jax.Array,  # [..., K]
-    w_p: jax.Array,  # [K, N] int8 nibbles 0..15
+    w_p: jax.Array,  # [K, N] int8 nibbles 0..15, or uint8 [K/2, N] packed
     scales: jax.Array,  # [G, N] f32
     zeros: jax.Array,  # [G, N] f32
     interpret: bool = False,
 ) -> jax.Array:
     orig_shape = x.shape
-    K, N = w_p.shape
+    packed = w_p.dtype == jnp.uint8
+    K, N = (2 * w_p.shape[0], w_p.shape[1]) if packed else w_p.shape
     G = scales.shape[0]
     gs = K // G
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
     # fallback when shapes don't tile cleanly
-    if K % gs or gs % 32 or N % 128 or K % 128:
+    if K % gs or gs % 32 or N % 128 or K % 128 or (packed and (K // 2) % gs):
         from ..quant import dequant_int4
 
         w = dequant_int4(w_p, scales, zeros, x.dtype)
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+    if packed:
+        out = _w4a16_packed(x2, w_p, scales, zeros, interpret)
+        return out.reshape(orig_shape[:-1] + (N,))
 
     TM, TK, TN = _pick_tiles(M, K, N, gs)
     Mp = (M + TM - 1) // TM * TM

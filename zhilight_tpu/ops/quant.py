@@ -27,7 +27,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-__all__ = ["int8_linear", "int4_linear", "fp8_linear", "quantize_int8_weight"]
+__all__ = ["int8_linear", "int4_linear", "fp8_linear", "quantize_int8_weight", "pack_int4", "unpack_int4"]
 
 
 def _use_pallas() -> bool:
@@ -90,8 +90,31 @@ def int4_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def pack_int4(w_nib: jax.Array) -> jax.Array:
+    """Pack nibble weights [K, N] (values 0..15, int8) into uint8 [K/2, N]:
+    GLOBAL-PLANAR layout — low nibbles hold rows [0, K/2), high nibbles rows
+    [K/2, K). Tile-agnostic: any packed k-tile unpacks to two original-row
+    ranges, so the fused kernel reads 4 bits/weight from HBM (Marlin-class;
+    the reference reads packed int4 too, gptq_marlin.cu) and pairs each half
+    with its own activation block instead of interleaving in VMEM."""
+    K = w_nib.shape[0]
+    lo = w_nib[: K // 2].astype(jnp.uint8)
+    hi = w_nib[K // 2 :].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_int4(w_packed: jax.Array) -> jax.Array:
+    """Inverse of pack_int4: uint8 [K/2, N] -> int8 nibbles [K, N]."""
+    lo = (w_packed & 0xF).astype(jnp.int8)
+    hi = (w_packed >> 4).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
 def dequant_int4(w_p: jax.Array, scales: jax.Array, zeros: jax.Array, dtype) -> jax.Array:
-    """w_p [in, out] nibbles; scales/zeros [groups, out]; group = in/groups rows."""
+    """w_p [in, out] nibbles (int8) or packed uint8 [in/2, out];
+    scales/zeros [groups, out]; group = in/groups rows."""
+    if w_p.dtype == jnp.uint8:
+        w_p = unpack_int4(w_p)
     K, N = w_p.shape
     G = scales.shape[0]
     gs = K // G

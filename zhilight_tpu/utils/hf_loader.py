@@ -284,7 +284,19 @@ def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
             continue
         for k, v in canon.items():
             tgt = jnp.int8 if k == "w_p" else (jnp.int32 if k == "perm" else jnp.float32)
-            _set_path(tree, f"{path}.{k}", jnp.asarray(v, dtype=tgt))
+            arr = jnp.asarray(v, dtype=tgt)
+            if k == "w_p" and _packable_int4(v.shape):
+                # 4 bits/weight in HBM for the fused kernel (quant.pack_int4
+                # global-planar layout); XLA fallbacks unpack transparently
+                from ..ops.quant import pack_int4
+
+                arr = pack_int4(arr)
+            _set_path(tree, f"{path}.{k}", arr)
+
+
+def _packable_int4(shape) -> bool:
+    # 2-D only (per-expert stacks keep nibble form until the MoE path packs)
+    return len(shape) == 2 and shape[0] % 256 == 0
 
 
 def _target_dtype(path: str, dtype):

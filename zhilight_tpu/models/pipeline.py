@@ -49,6 +49,15 @@ PP_AXIS = "pp"
 Params = Dict[str, jax.Array]
 
 
+def _check_unpacked(cache: KVCache) -> None:
+    if cache.packed:
+        raise NotImplementedError(
+            "pipeline parallelism splits the KV pool on its slot dim, which "
+            "is dim 1 in head-major packed pools; run PP models with "
+            "ZT_NO_PACKED_KV=1 (slot-major split pools) for now"
+        )
+
+
 def shard_params_pp(cfg: ModelConfig, params: Params, mesh: Mesh) -> Params:
     """Stack layers and shard the stack over the pp axis; embedding / head /
     final norm replicated (they run on every stage's copy)."""
@@ -82,6 +91,7 @@ def _forward_pp(
     mesh: Mesh,
     mode: str,
 ) -> Tuple[jax.Array, KVCache]:
+    _check_unpacked(cache)
     pp = mesh.shape[PP_AXIS]
     layers_per_stage = cfg.num_layers // pp
     pages_per_layer = cache.num_pages // cfg.num_layers

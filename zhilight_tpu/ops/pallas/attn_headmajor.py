@@ -126,6 +126,10 @@ def paged_decode_attention_hm(
     maxp = page_tables.shape[1]
     FPB = min(fetch_pages, maxp)
     num_blocks = (maxp + FPB - 1) // FPB
+    # shrink the per-block page count to fit maxp tightly: fetches happen for
+    # every grid block (clamped pages are masked but still move bytes), so
+    # e.g. maxp=34 with FPB=8 reads 40 page-slots/seq where FPB=7 reads 35
+    FPB = (maxp + num_blocks - 1) // num_blocks
 
     # zero-pad q over the V lanes so the score dot runs the full packed width
     q_g = jnp.pad(q.reshape(B, Hkv, G, D), ((0, 0), (0, 0), (0, 0), (0, D2 - D)))

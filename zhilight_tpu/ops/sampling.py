@@ -122,23 +122,56 @@ def apply_penalties(
 
 
 def _top_k_top_p_mask(logits: jax.Array, top_k: jax.Array, top_p: jax.Array) -> jax.Array:
-    """Mask logits outside per-slot top-k / nucleus top-p. One full sort per
-    step (the reference uses GPU bitonic topk, functions/sort.cu)."""
+    """Mask logits outside per-slot top-k / nucleus top-p — WITHOUT sorting.
+
+    A full [B, V] sort per step is the reference's GPU approach (bitonic
+    topk, functions/sort.cu) but is the single most expensive op in a TPU
+    sampled-decode step at 100k+ vocabs. Both thresholds are found instead
+    by value-domain bisection (~30 cheap masked reductions, exact to fp32
+    resolution; boundary ties keep every tied token — the only deviation
+    from the sort formulation, and the standard one):
+
+      top-k threshold: largest t with  count(logits >= t) >= k
+      top-p threshold: largest t with  mass(probs >= t)  >= p
+    """
     B, V = logits.shape
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
-    # top-k threshold: value at rank k-1 (k==0 or k>=V disables)
-    k = jnp.where((top_k <= 0) | (top_k > V), V, top_k)
-    kth = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)  # [B,1]
-    keep_k = logits >= kth
-    # top-p: keep the smallest prefix of sorted probs with cumsum >= top_p
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # a sorted position is kept if the cumulative prob *before* it is < top_p
-    keep_sorted = (cum - probs) < top_p[:, None]
-    # threshold value = smallest kept logit in sorted order
-    thr_idx = jnp.sum(keep_sorted.astype(jnp.int32), axis=-1) - 1  # [B]
-    thr = jnp.take_along_axis(sorted_logits, jnp.maximum(thr_idx, 0)[:, None], axis=-1)
-    keep_p = logits >= thr
+    k = jnp.where((top_k <= 0) | (top_k > V), V, top_k).astype(jnp.float32)
+
+    # probabilities for the mass search (stable softmax, no sort needed)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    ex = jnp.exp(logits - mx)
+    probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+
+    def bisect(values, target_fn, lo, hi, iters=30):
+        # invariant: target_fn(lo) holds, target_fn(hi) may not
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            ok = target_fn(mid)
+            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        return lo
+
+    # top-k: count(logits >= t) >= k
+    lo0 = jnp.min(logits, axis=-1)
+    hi0 = jnp.max(logits, axis=-1)
+
+    def count_ok(t):
+        return jnp.sum((logits >= t[:, None]).astype(jnp.float32), axis=-1) >= k
+
+    thr_k = bisect(logits, count_ok, lo0, hi0)
+    keep_k = logits >= thr_k[:, None]
+
+    # top-p: mass(probs >= t) >= p  (always keeps the argmax)
+    def mass_ok(t):
+        return (
+            jnp.sum(jnp.where(probs >= t[:, None], probs, 0.0), axis=-1)
+            >= top_p
+        )
+
+    thr_p = bisect(probs, mass_ok, jnp.zeros((B,), jnp.float32), probs.max(-1))
+    keep_p = probs >= thr_p[:, None]
     return keep_k & keep_p
 
 

@@ -11,7 +11,7 @@ toggles and profiles each variant on the chip:
   +pins     ... with Format-pinned out_shardings on cache (+state)
   full      everything (== production decode_multi, greedy)
 
-Run on the chip; 10-layer MiniCPM geometry keeps compiles ~2 min each.
+Run on the chip (ZT_BISECT_LAYERS sets depth; default 4 to bound compiles).
 """
 
 import functools

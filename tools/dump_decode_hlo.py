@@ -68,8 +68,7 @@ def main():
     )
     txt = lowered.compile().as_text()
     open("/tmp/decode_window.hlo", "w").write(txt)
-    # count async/dynamic slice ops by operand shapes
-    pat = re.compile(r"(\S+) = \S+ (dynamic-slice|slice)\(")
+    # count async/dynamic slice ops by result shape
     shapes = Counter()
     for line in txt.splitlines():
         m = re.search(r"(dynamic-slice|slice)\(", line)

@@ -72,6 +72,9 @@ class ModelExecutor:
         self.mesh = mesh if mesh is not None else make_mesh(
             tp=engine_cfg.parallel.tp, dp=engine_cfg.parallel.dp
         )
+        from ..parallel import enable_kernel_partitioning
+
+        enable_kernel_partitioning(self.mesh.devices.size > 1)
         self.rope = llama_mod.build_rope(cfg, engine_cfg.max_model_len)
 
         # homogeneous-layer models CAN scan over stacked params (3 Pallas

@@ -242,9 +242,18 @@ def write_kv(
             axis=-1,
         )  # [T, H, 2D]
         if _pallas_writes_on():
-            from ..ops.pallas.kv_write import write_rows_hm
+            from ..parallel import kernel_partitioning_enabled
 
-            kv = write_rows_hm(cache.k[layer], rows, slot_mapping, cache.page_size)
+            if kernel_partitioning_enabled():
+                from ..ops.pallas.partitioned import write_rows_hm_sharded
+
+                kv = write_rows_hm_sharded(
+                    cache.k[layer], rows, slot_mapping, cache.page_size
+                )
+            else:
+                from ..ops.pallas.kv_write import write_rows_hm
+
+                kv = write_rows_hm(cache.k[layer], rows, slot_mapping, cache.page_size)
         else:
             idx = jnp.where(slot_mapping >= 0, slot_mapping, cache.num_slots)
             kv = cache.k[layer].at[:, idx].set(

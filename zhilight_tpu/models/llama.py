@@ -196,9 +196,21 @@ def attention_layer(
             cfg.sliding_window,
         )
     elif _use_pallas_decode(cfg, cache) and cache.packed:
-        from ..ops.pallas.attn_headmajor import paged_decode_attention_hm
+        from ..parallel import kernel_partitioning_enabled
 
-        out = paged_decode_attention_hm(
+        if kernel_partitioning_enabled():
+            # multi-device mesh: the SPMD-partitioned wrapper keeps the
+            # head-sharded pool local to each shard (plain pallas custom
+            # calls are opaque to the partitioner and would be all-gathered)
+            from ..ops.pallas.partitioned import (
+                paged_decode_attention_hm_sharded as _attn,
+            )
+        else:
+            from ..ops.pallas.attn_headmajor import (
+                paged_decode_attention_hm as _attn,
+            )
+
+        out = _attn(
             q,
             cache.k[layer_idx],
             meta.page_tables,

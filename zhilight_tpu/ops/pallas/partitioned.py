@@ -1,0 +1,91 @@
+"""SPMD partitioning rules for the hot Pallas kernels.
+
+XLA's partitioner treats custom calls (every ``pallas_call``) as opaque:
+under ``jit`` on a TP mesh it would all-gather the head-sharded KV pool
+around the decode attention kernel and re-shard afterwards — exactly the
+collective traffic tensor parallelism exists to avoid. These wrappers attach
+:func:`jax.experimental.custom_partitioning` rules so the kernels run
+per-shard on their LOCAL heads (decode attention and the paged KV write are
+embarrassingly parallel over the head dim; batch sharding — attention-DP —
+is likewise local because every shard holds the full pool).
+
+Replaces the reference's explicit per-rank kernel launches (one NCCL rank
+per GPU runs its head slice of the fused decode kernel,
+attention_kernel.cu + DistLayout head sharding) with a partitioning rule the
+SPMD pass applies inside one global program.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.experimental.custom_partitioning import custom_partitioning
+
+from .attn_headmajor import paged_decode_attention_hm as _attn_hm
+from .kv_write import write_rows_hm as _write_hm
+
+__all__ = ["paged_decode_attention_hm_sharded", "write_rows_hm_sharded"]
+
+
+def _shardings(tree):
+    return jax.tree.map(lambda x: x.sharding, tree)
+
+
+def paged_decode_attention_hm_sharded(
+    q, kv_pool, page_tables, context_lens, page_size, scale,
+    sliding_window=0, fetch_pages=8, interpret=False,
+):
+    """paged_decode_attention_hm with an SPMD rule: head-sharded q/pool (and
+    batch-sharded metadata, for attention-DP) run the kernel per shard.
+
+    q heads are laid out kv-head-major (``q.reshape(B, Hkv, G, D)``), so the
+    q head dim factors as ``(h g)`` and a ``tp`` axis on it propagates to the
+    pool's leading (kv head) dim.
+    """
+
+    def _impl(q, pool, pt, cl):
+        return _attn_hm(
+            q, pool, pt, cl, page_size, scale,
+            sliding_window=sliding_window, fetch_pages=fetch_pages,
+            interpret=interpret,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, pt, cl):
+            return _impl(q, pool, pt, cl)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    G = q.shape[1] // kv_pool.shape[0]
+    f.def_partition(
+        partition,
+        # h appears alone in the pool's leading dim, so only g's size is a
+        # free factor the rule needs
+        sharding_rule="b (h g) d, h n x, b m, b -> b (h g) d",
+        need_replication_factors=("d", "n", "x", "m"),  # first-appearance order
+        g=G,
+    )
+    return f(q, kv_pool, page_tables, context_lens)
+
+
+def write_rows_hm_sharded(pool, rows, slot_mapping, page_size, interpret=False):
+    """write_rows_hm with an SPMD rule: each shard writes its local heads."""
+
+    def _impl(pool, rows, slots):
+        return _write_hm(pool, rows, slots, page_size, interpret=interpret)
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(pool, rows, slots):
+            return _impl(pool, rows, slots)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    f.def_partition(
+        partition,
+        sharding_rule="h n x, t h x, t -> h n x",
+        need_replication_factors=("n", "x", "t"),  # first-appearance order
+    )
+    return f(pool, rows, slot_mapping)

@@ -1,5 +1,10 @@
 """Offline batched inference (reference examples/offline_inference.py)."""
 
+import os
+import sys
+
+# runnable straight from a checkout (no install step)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from zhilight_tpu.engine import DynamicBatchGenerator, GeneratorArg
 from zhilight_tpu.llm import LLM
 

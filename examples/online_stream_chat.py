@@ -1,6 +1,11 @@
 """Streaming chat against a running OpenAI server
 (reference examples/online_stream_chat.py)."""
 
+import os
+import sys
+
+# runnable straight from a checkout (no install step)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import argparse
 import json
 

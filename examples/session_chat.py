@@ -1,6 +1,11 @@
 """Incremental multi-turn session with KV reuse
 (reference zhilight/session_generator.py usage)."""
 
+import os
+import sys
+
+# runnable straight from a checkout (no install step)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from zhilight_tpu.engine import DynamicBatchGenerator, GeneratorArg, SessionGenerator
 from zhilight_tpu.llm import LLM
 

@@ -350,3 +350,25 @@ def test_pipelined_windows_staggered_finish(tiny_model):
         )
     got = [r.outputs[0].token_ids for r in results]
     assert got == expected
+
+
+def test_pipeline_drains_after_boundary_finish(tiny_model):
+    """The LAST decoding task finishing exactly at a window boundary (no
+    truncation, so the successor window was already dispatched) must still
+    drain that in-flight window and release its slot/pages — a follow-up
+    request on the same generator would otherwise hang on admission."""
+    cfg, params = tiny_model
+    rng = np.random.RandomState(13)
+    p1 = list(rng.randint(2, VOCAB, size=5))
+    # K=4: prefill emits 1 token, two full windows emit 8 more -> finishes
+    # on the window boundary with a chained window in flight
+    e1 = naive_greedy(cfg, params, p1, 9)
+    p3 = list(rng.randint(2, VOCAB, size=7))
+    e3 = naive_greedy(cfg, params, p3, 5)
+
+    llm = make_llm(tiny_model, decode_multi_step=4, max_batch=1)
+    with DynamicBatchGenerator(llm) as gen:
+        r1 = gen.generate(p1, GeneratorArg(max_length=9), timeout=60)
+        r3 = gen.generate(p3, GeneratorArg(max_length=5), timeout=60)
+    assert r1.outputs[0].token_ids == e1
+    assert r3.outputs[0].token_ids == e3

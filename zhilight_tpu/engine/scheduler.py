@@ -170,7 +170,13 @@ class Scheduler:
         worked = False
         if self.prefilling:
             worked = self._prefill_one() or worked
-        if any(t is not None and t.status == TaskStatus.DECODE for t in self.slots):
+        # the pending check matters when the LAST decoding tasks finished
+        # while a speculative window was in flight: no slot is in DECODE any
+        # more, but that window must still be drained (and the deferred page
+        # releases flushed) or its slots/pages leak
+        if self._pending is not None or any(
+            t is not None and t.status == TaskStatus.DECODE for t in self.slots
+        ):
             self._decode_step()
             worked = True
         return worked

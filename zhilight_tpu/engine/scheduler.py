@@ -857,7 +857,11 @@ class Scheduler:
             if task.status != TaskStatus.DECODE:
                 continue  # finished in an earlier window of this pipeline
             b = task.slot
-            n_valid = min(K, int(limits[b]) - int(context_lens[b]) + 1)
+            # clamped at 0: a slot frozen at its limit during the PREVIOUS
+            # window of a pipelined chain starts this one already frozen —
+            # the assumed-full-consumption context would make this negative
+            # (and a negative slice would keep garbage tokens)
+            n_valid = max(0, min(K, int(limits[b]) - int(context_lens[b]) + 1))
             if n_valid < K:
                 self._decode_clean = False  # frozen mid-window: host resyncs
             self._append_window(

@@ -157,3 +157,26 @@ def test_dense_parity(hf_kw):
     got = run_engine(cfg, params, tokens)
     want = ref_logits[len(tokens) - 4 :]
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_dense_parity_packed_pool():
+    """dim_head=64: the KV pool is head-major lane-packed, exercising the
+    packed XLA-fallback write (mid-dim scatter) and gather paths on CPU
+    against the independent HF reference."""
+    hf_cfg = tiny_hf_cfg(hidden_size=256, num_attention_heads=4, num_key_value_heads=2)
+    rng = np.random.RandomState(3)
+    tokens = rng.randint(0, hf_cfg["vocab_size"], size=14).astype(np.int32)
+
+    state, ref_logits = hf_reference_logits(hf_cfg, tokens)
+    cfg = adapt_hf_config(hf_cfg).replace(dtype="float32")
+    assert cfg.dim_head == 64
+    params = map_hf_params(state.items(), cfg, dtype=jnp.float32, strict=False)
+
+    from zhilight_tpu.kvcache import new_kv_cache as _new
+
+    cache = _new(cfg.num_layers, 32, PAGE, cfg.num_kv_heads, cfg.dim_head, jnp.float32)
+    assert cache.packed and cache.k[0].shape[0] == cfg.num_kv_heads
+
+    got = run_engine(cfg, params, tokens)
+    want = ref_logits[len(tokens) - 4 :]
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)

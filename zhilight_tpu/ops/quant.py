@@ -82,6 +82,14 @@ def int4_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     XLA reference path dequantizes the weight to the activation dtype and
     relies on fusion; the Pallas fused kernel dequantizes per-tile in VMEM.
     """
+    if "perm" in p:
+        # GPTQ act_order (desc_act=true): the loader sorted the weight rows so
+        # each quant group is contiguous (utils/quant_convert.unpack_gptq);
+        # activations must be gathered with the same permutation. The gather
+        # moves O(M*K) activation bytes — negligible against the K*N/2-byte
+        # weight read (reference handles this in the exllama q_gemm path,
+        # src/nn/quant/gptq/ + zhilight/loader.py:199-244).
+        x = jnp.take(x, p["perm"], axis=-1)
     if _use_pallas():
         from .pallas.quant_matmul import w4a16_matmul
 

@@ -273,10 +273,19 @@ def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
             for e in range(E):
                 one = {k: v[e] for k, v in entry.items() if isinstance(v, dict)}
                 parts.append(convert_quant_tensors(one, quant_method))
+            if any("perm" in p for p in parts):
+                # grouped expert GEMMs consume a dense [E, K, N] stack; a
+                # per-expert activation permutation has no grouped-matmul
+                # equivalent here yet. Fail loudly instead of generating
+                # garbage (the reference's GPTQMOE rejects desc_act too).
+                raise NotImplementedError(
+                    f"GPTQ act_order (desc_act=true) expert weights at {path!r} "
+                    "are not supported; re-quantize the MoE checkpoint with "
+                    "desc_act=false"
+                )
             canon = {
                 k: np.stack([p[k] for p in parts], axis=0)
                 for k in parts[0]
-                if k != "perm"
             }
         else:
             canon = convert_quant_tensors(entry, quant_method)

@@ -111,6 +111,47 @@ def test_stop_token_ids(llm):
     assert res.finish_reason == "stop"
 
 
+def test_ignore_eos_per_request(llm):
+    """arg.ignore_eos=True must generate past EOS to max_length (VERDICT r1
+    weak #2: was a silent no-op; only the global flag worked)."""
+    bias = {EOS: 100.0}  # force EOS every step
+    with DynamicBatchGenerator(llm) as gen:
+        stop = gen.generate([5, 9, 12], GeneratorArg(max_length=6, logit_bias=bias))
+        go = gen.generate(
+            [5, 9, 12], GeneratorArg(max_length=6, logit_bias=bias, ignore_eos=True)
+        )
+    assert stop.outputs[0].token_ids == []  # EOS first, not kept
+    assert stop.outputs[0].finish_reason == "stop"
+    assert go.outputs[0].token_ids == [EOS] * 6
+    assert go.outputs[0].finish_reason == "length"
+
+
+def test_eos_id_list():
+    """Any member of SchedulerConfig.eos_ids stops generation (HF
+    generation_config eos lists, e.g. Llama-3 eot_id)."""
+    cfg = ModelConfig(
+        model_type="llama", num_layers=2, dim_model=32, num_heads=4, dim_head=8,
+        num_kv_heads=2, dim_ff=64, vocab_size=VOCAB, dtype="float32",
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    alt_eos = 7
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=4, num_pages=64),
+        scheduler=SchedulerConfig(
+            max_batch=4, chunk_size=16, prefill_buckets=(8, 16, 32),
+            eos_id=EOS, eos_ids=(EOS, alt_eos),
+        ),
+    )
+    llm2 = LLM(model_config=cfg, params=params, engine_config=ecfg)
+    with DynamicBatchGenerator(llm2) as gen:
+        out = gen.generate(
+            [5, 9, 12], GeneratorArg(max_length=8, logit_bias={alt_eos: 100.0})
+        ).outputs[0]
+    assert out.finish_reason == "stop"
+    assert alt_eos not in out.token_ids  # EOS members are not kept
+
+
 def test_finish_reason_length(llm):
     with DynamicBatchGenerator(llm) as gen:
         res = gen.generate([5, 9, 12], GeneratorArg(max_length=3)).outputs[0]

@@ -50,6 +50,9 @@ class SchedulerConfig:
     decode_buckets: Tuple[int, ...] = ()
     max_beam_size: int = 8
     eos_id: int = 2
+    # additional EOS ids (HF generation_config.json eos_token_id lists, e.g.
+    # Llama-3 eot_id); () => just eos_id. Any member stops generation.
+    eos_ids: Tuple[int, ...] = ()
     bos_id: int = 1
     ignore_eos: bool = False
     keep_eos: bool = False

@@ -82,7 +82,7 @@ class BeamGroup:
     def plan_update(
         self,
         candidates: List[Tuple[int, int, float]],  # (beam_idx, token, lp) sorted desc by cum+lp
-        eos_id: int,
+        eos_ids,  # int or set of ints: any member ends a hypothesis
         keep_eos: bool,
         max_length: int,
         ignore_eos: bool = False,
@@ -91,12 +91,13 @@ class BeamGroup:
         assignment as (parent_beam_idx, token, new_cum) and files finished
         hypotheses into the result manager."""
         t = self.steps
+        eos_set = {eos_ids} if isinstance(eos_ids, int) else set(eos_ids)
         next_beams: List[Tuple[int, int, float]] = []
         for beam_idx, token, lp in candidates:
             parent = self.beams[beam_idx]
             cum = parent.cum_logprob + lp
             score = cum / float(t + 1)  # length-normalized (reference :1806)
-            is_eos = token == eos_id
+            is_eos = token in eos_set
             at_limit = len(parent.output_tokens) + 1 >= max_length
             if is_eos or at_limit:
                 if ignore_eos and is_eos and not at_limit:

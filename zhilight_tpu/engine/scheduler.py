@@ -49,6 +49,8 @@ class Scheduler:
             enable_prefix_cache=executor.cache_cfg.enable_prefix_caching,
         )
         self.max_batch = executor.max_batch
+        # any member stops generation (HF generation_config eos lists)
+        self.eos_ids = set(self.cfg.eos_ids) or {self.cfg.eos_id}
         self.slots: List[Optional[SearchTask]] = [None] * self.max_batch
         # tasks admitted but still prefilling (FIFO; one chunked at a time like
         # the reference's chunking_b single-task restriction)
@@ -522,8 +524,8 @@ class Scheduler:
         ]
         cands = [(0, int(t), float(l)) for t, l in zip(toptok, toplp)]
         next_beams = group.plan_update(
-            cands, self.cfg.eos_id, self.cfg.keep_eos, task.arg.max_length,
-            self.cfg.ignore_eos,
+            cands, self.eos_ids, self.cfg.keep_eos, task.arg.max_length,
+            self.cfg.ignore_eos or task.arg.ignore_eos,
         )
         if not next_beams or group.should_stop(next_beams):
             self._finish_beam_group(group)
@@ -543,8 +545,8 @@ class Scheduler:
         cands = [(i, t, l) for _, i, t, l in cands[:num_top]]
         task = group.task
         next_beams = group.plan_update(
-            cands, self.cfg.eos_id, self.cfg.keep_eos, task.arg.max_length,
-            self.cfg.ignore_eos,
+            cands, self.eos_ids, self.cfg.keep_eos, task.arg.max_length,
+            self.cfg.ignore_eos or task.arg.ignore_eos,
         )
         if not next_beams or group.should_stop(next_beams):
             self._finish_beam_group(group)
@@ -881,9 +883,10 @@ class Scheduler:
         emitted: List[int] = []
         finished = False
         stop_ids = task.arg.stop_token_ids or ()
+        no_eos = self.cfg.ignore_eos or task.arg.ignore_eos
         for j, (tok, lp) in enumerate(zip(toks, lps)):
             tok = int(tok)
-            is_eos = tok == self.cfg.eos_id and not self.cfg.ignore_eos
+            is_eos = tok in self.eos_ids and not no_eos
             is_stop = tok in stop_ids
             # stop tokens are included in the output (reference
             # sampling_params.py:74-76 semantics); EOS is not (unless keep_eos)

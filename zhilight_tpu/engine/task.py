@@ -57,6 +57,9 @@ class GeneratorArg:
     stop_token_ids: Optional[List[int]] = None
     stop_strings: Optional[List[str]] = None
     include_stop_str_in_output: bool = False
+    # per-request EOS suppression (reference SamplingParams.ignore_eos,
+    # server/openai/basic/sampling_params.py)
+    ignore_eos: bool = False
     max_input_length: int = sys.maxsize
     # session support (reference set_session_info)
     session_id: Optional[str] = None

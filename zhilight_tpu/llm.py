@@ -24,6 +24,24 @@ logger = logging.getLogger(__name__)
 __all__ = ["LLM"]
 
 
+def _load_generation_eos(model_path: str) -> list:
+    """EOS id(s) from HF generation_config.json (int or list)."""
+    import json
+    import os
+
+    path = os.path.join(model_path, "generation_config.json")
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            raw = json.load(f).get("eos_token_id")
+    except Exception:  # pragma: no cover
+        return []
+    if raw is None:
+        return []
+    return [int(x) for x in (raw if isinstance(raw, list) else [raw])]
+
+
 class LLM:
     def __init__(
         self,
@@ -59,15 +77,25 @@ class LLM:
         if params is None:
             assert model_path, "need params or model_path"
             params = load_hf_state(model_path, self.model_config)
-        # default eos from tokenizer
+        # default EOS set: tokenizer eos + generation_config.json lists
+        # (e.g. Llama-3 ships eos_token_id=[eos, eot_id]; reference users had
+        # to pass stop_token_ids manually — here any member stops generation)
+        eos_ids: list = []
         if self.tokenizer is not None and getattr(self.tokenizer, "eos_token_id", None) is not None:
+            eos_ids.append(int(self.tokenizer.eos_token_id))
+        for gen_eos in (_load_generation_eos(model_path) if model_path else []):
+            if gen_eos not in eos_ids:
+                eos_ids.append(gen_eos)
+        if eos_ids:
             sched = self.engine_config.scheduler
-            if sched.eos_id != self.tokenizer.eos_token_id:
+            if sched.eos_id != eos_ids[0] or tuple(eos_ids) != sched.eos_ids:
                 import dataclasses
 
                 self.engine_config = dataclasses.replace(
                     self.engine_config,
-                    scheduler=dataclasses.replace(sched, eos_id=self.tokenizer.eos_token_id),
+                    scheduler=dataclasses.replace(
+                        sched, eos_id=eos_ids[0], eos_ids=tuple(eos_ids)
+                    ),
                 )
 
         self.executor = ModelExecutor(self.model_config, params, self.engine_config, mesh=mesh)

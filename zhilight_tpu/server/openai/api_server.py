@@ -113,8 +113,6 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
         if len(tokens) >= engine.max_model_len:
             return _error(400, "prompt too long")
         arg = arg_from_request(req, engine.max_model_len)
-        if req.ignore_eos:
-            arg = arg  # per-request ignore_eos handled at stop check via max_length only
         if req.stream:
             return await _stream_chat(request, req, tokens, arg)
 

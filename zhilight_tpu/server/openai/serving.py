@@ -52,6 +52,7 @@ def arg_from_request(req: Union[ChatCompletionRequest, CompletionRequest], max_m
         logit_bias=logit_bias,
         stop_token_ids=list(req.stop_token_ids) if req.stop_token_ids else None,
         stop_strings=stop_strings,
+        ignore_eos=req.ignore_eos,
     )
 
 

@@ -48,6 +48,46 @@ def test_embeddings_match_tokens(setup):
     assert got == want
 
 
+def test_embeddings_skip_prefix_cache(setup):
+    """ADVICE r1 (medium): prompts with input_embeddings must neither register
+    nor match the token-keyed prefix cache — identical placeholder token ids
+    can carry different images."""
+    cfg, params, _ = setup
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=4, num_pages=64, enable_prefix_caching=True),
+        scheduler=SchedulerConfig(max_batch=4, chunk_size=32, prefill_buckets=(8, 16, 32), eos_id=EOS),
+    )
+    llm = LLM(model_config=cfg, params=params, engine_config=ecfg)
+    rng = np.random.RandomState(13)
+    prompt = list(rng.randint(2, VOCAB, size=8))
+    emb_table = np.asarray(params["embedding"]["w"], np.float32)
+    emb_a = emb_table[np.asarray(prompt)] * cfg.scale_emb
+    emb_b = emb_a + 0.25  # "different image", same placeholder token ids
+
+    from zhilight_tpu.engine.task import SearchTask
+    from zhilight_tpu.engine import GeneratorArg as GA
+
+    with DynamicBatchGenerator(llm) as gen:
+        # a text request registers its prefix
+        gen.generate(prompt, GeneratorArg(max_length=3))
+        assert gen.scheduler.allocator.num_cached > 0
+        cached0 = gen.scheduler.allocator.num_cached
+
+        ta = SearchTask(prompt, GA(max_length=3), input_embeddings=emb_a)
+        gen.scheduler.submit(ta)
+        _, out_a = ta.res_queue.get(timeout=120)
+        tb = SearchTask(prompt, GA(max_length=3), input_embeddings=emb_b)
+        gen.scheduler.submit(tb)
+        _, out_b = tb.res_queue.get(timeout=120)
+
+    # neither matched the text prefix nor registered new entries
+    assert ta.prefix_hit_len == 0 and tb.prefix_hit_len == 0
+    assert gen.scheduler.allocator.num_cached == cached0
+    # different embeddings over the same token ids produce different KV
+    assert out_a.token_ids != out_b.token_ids
+
+
 def test_custom_position_ids(setup):
     cfg, params, llm = setup
     rng = np.random.RandomState(10)

@@ -69,6 +69,90 @@ def test_session_rollback(llm):
     assert r.outputs[0].token_ids == fresh.outputs[0].token_ids
 
 
+def test_session_resume_is_page_aligned(llm):
+    """ADVICE r1 (high): resuming at a non-page-aligned cache_len violates the
+    Pallas prefill write kernels' aligned-page DMA contract. The scheduler
+    must round the reused length down to a page boundary (refeeding the
+    partial tail) and still produce the fresh-generation output."""
+    import dataclasses
+
+    rng = np.random.RandomState(11)
+    turn1 = list(rng.randint(2, VOCAB, size=9))
+    turn2 = list(rng.randint(2, VOCAB, size=6))
+    S = llm.engine_config.cache.page_size
+
+    with DynamicBatchGenerator(llm) as gen:
+        with SessionGenerator(gen) as sess:
+            r1 = sess.generate(turn1, GeneratorArg(max_length=4))
+            out1 = r1.outputs[0].token_ids
+            assert (len(turn1) + len(out1)) % S != 0  # unaligned resume point
+            # drive the second turn with a hand-built task to observe the
+            # scheduler's resume length
+            from zhilight_tpu.engine.task import SearchTask
+
+            hist = turn1 + out1 + turn2
+            arg = GeneratorArg(
+                max_length=4,
+                session_id=sess.session_id,
+                session_continue=True,
+                sess_chunk_pos=len(turn1) + len(out1),
+            )
+            task = SearchTask(hist, arg)
+            gen.scheduler.submit(task)
+            _, final = task.res_queue.get(timeout=120)
+            out2 = final.token_ids
+        fresh = gen.generate(turn1 + out1 + turn2, GeneratorArg(max_length=4))
+    assert task.prefix_hit_len % S == 0
+    assert 0 < task.prefix_hit_len <= len(turn1) + len(out1)
+    assert out2 == fresh.outputs[0].token_ids
+
+
+def test_session_token_mismatch_discards_kv(llm):
+    """A reused session_id whose stored tokens are not a prefix of the new
+    prompt must fall back to fresh prefill, not attend over wrong KV."""
+    from zhilight_tpu.engine.task import SearchTask
+
+    rng = np.random.RandomState(12)
+    turn1 = list(rng.randint(2, VOCAB, size=8))
+    other = list(rng.randint(2, VOCAB, size=12))
+
+    with DynamicBatchGenerator(llm) as gen:
+        with SessionGenerator(gen) as sess:
+            sess.generate(turn1, GeneratorArg(max_length=3))
+            arg = GeneratorArg(
+                max_length=4, session_id=sess.session_id,
+                session_continue=True, sess_chunk_pos=8,
+            )
+            task = SearchTask(other, arg)  # NOT an extension of the session
+            gen.scheduler.submit(task)
+            _, final = task.res_queue.get(timeout=120)
+        fresh = gen.generate(other, GeneratorArg(max_length=4))
+    assert task.prefix_hit_len == 0
+    assert final.token_ids == fresh.outputs[0].token_ids
+
+
+def test_session_ttl_eviction(llm):
+    """Idle sessions release their pinned pages after session_ttl."""
+    import dataclasses
+    import time as _t
+
+    sched = llm.executor  # noqa: F841  (fixture reuse)
+    with DynamicBatchGenerator(llm) as gen:
+        gen.scheduler.cfg = dataclasses.replace(gen.scheduler.cfg, session_ttl=0.05)
+        free0 = gen.scheduler.allocator.num_free
+        sess = SessionGenerator(gen)
+        sess.generate([5, 9, 12, 33], GeneratorArg(max_length=3))
+        assert gen.scheduler.allocator.num_free < free0
+        _t.sleep(0.2)
+        # any scheduler step triggers expiry
+        gen.generate([4, 8], GeneratorArg(max_length=2))
+        deadline = _t.time() + 10
+        while gen.scheduler.sessions and _t.time() < deadline:
+            _t.sleep(0.02)
+        assert not gen.scheduler.sessions
+        assert gen.scheduler.allocator.num_free == free0
+
+
 def test_session_close_releases_pages(llm):
     with DynamicBatchGenerator(llm) as gen:
         free0 = gen.scheduler.allocator.num_free

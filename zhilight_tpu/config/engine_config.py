@@ -62,6 +62,10 @@ class SchedulerConfig:
     # decode steps fused into one device program (host syncs once per window;
     # tokens feed back on device). 0 => auto: 8 on TPU, 1 elsewhere.
     decode_multi_step: int = 0
+    # idle sessions are evicted (KV pages freed) after this many seconds;
+    # 0 disables TTL. Under page pressure the LRU idle session is evicted
+    # regardless of TTL.
+    session_ttl: float = 600.0
 
 
 @dataclass(frozen=True)

@@ -167,7 +167,27 @@ class Scheduler:
                     break
             raise
 
+    def _expire_sessions(self):
+        """TTL eviction for abandoned sessions (they pin KV pages)."""
+        ttl = self.cfg.session_ttl
+        if not ttl or not self.sessions:
+            return
+        now = time.monotonic()
+        for sid in [s for s, v in self.sessions.items() if now - v[3] > ttl]:
+            logger.info("session %s expired; releasing KV pages", sid)
+            self.allocator.free_pages(self.sessions.pop(sid)[1])
+
+    def _evict_lru_session(self) -> bool:
+        """Free the least-recently-used idle session's pages (page pressure)."""
+        if not self.sessions:
+            return False
+        sid = min(self.sessions, key=lambda s: self.sessions[s][3])
+        logger.info("page pressure: evicting idle session %s", sid)
+        self.allocator.free_pages(self.sessions.pop(sid)[1])
+        return True
+
     def _step(self) -> bool:
+        self._expire_sessions()
         self._admit()
         worked = False
         if self.prefilling:
@@ -209,6 +229,15 @@ class Scheduler:
             beams = max(task.arg.beam_size, 1)
             need = (task.prompt_len + task.arg.max_length) * beams
             if need > self.allocator.free_token_capacity():
+                # idle sessions pin pages; evict the LRU one (never the
+                # session this task is about to resume) before giving up
+                own = task.arg.session_id if task.arg.session_continue else None
+                cands = [s for s in self.sessions if s != own]
+                if cands:
+                    sid = min(cands, key=lambda s: self.sessions[s][3])
+                    logger.info("admission pressure: evicting idle session %s", sid)
+                    self.allocator.free_pages(self.sessions.pop(sid)[1])
+                    continue
                 return  # wait for memory
             if beams > 1:
                 free = [i for i, t in enumerate(self.slots) if t is None]
@@ -231,12 +260,22 @@ class Scheduler:
         sid = task.arg.session_id
         if sid and task.arg.session_continue and sid in self.sessions:
             # exact session KV reuse; rollback trims to sess_chunk_pos
-            s_tokens, s_pages, s_len = self.sessions.pop(sid)
+            s_tokens, s_pages, s_len, _ts = self.sessions.pop(sid)
             usable = min(s_len, task.prompt_len - 1)
             if task.arg.sess_chunk_pos:
                 usable = min(usable, task.arg.sess_chunk_pos)
             S = self.ex.page_size
-            keep = (usable + S - 1) // S
+            # the Pallas prefill write kernels DMA whole aligned pages
+            # (ops/pallas/kv_write.py contract): resume only from a page
+            # boundary and refeed the partial tail page's tokens
+            usable -= usable % S
+            # the retained KV must actually be a prefix of the new prompt;
+            # on a reused/mismatched session_id fall back to fresh prefill
+            # instead of attending over the wrong cached rows
+            if s_tokens[:usable] != task.input_tokens[:usable]:
+                logger.warning("session %s: token mismatch, discarding cached KV", sid)
+                usable = 0
+            keep = usable // S
             task.pages = s_pages[:keep]
             self.allocator.free_pages(s_pages[keep:])
             task.cache_len = usable
@@ -244,6 +283,12 @@ class Scheduler:
         elif sid:
             # fresh session: skip prefix sharing so session pages stay private
             # (rollback rewrites page tails in place)
+            task.pages = []
+            task.cache_len = 0
+            task.prefix_hit_len = 0
+        elif task.input_embeddings is not None:
+            # multimodal prompts must not share KV keyed on token ids alone:
+            # identical placeholder ids can carry different images
             task.pages = []
             task.cache_len = 0
             task.prefix_hit_len = 0
@@ -392,9 +437,14 @@ class Scheduler:
                 task.input_tokens + task.output_tokens,
                 list(task.pages),
                 task.total_len,
+                time.monotonic(),
             )
             task.pages = []
-        elif self.allocator.enable_prefix_cache and task.status == TaskStatus.FINISHED:
+        elif (
+            self.allocator.enable_prefix_cache
+            and task.status == TaskStatus.FINISHED
+            and task.input_embeddings is None
+        ):
             all_tokens = task.input_tokens + task.output_tokens
             self.allocator.register_prefix(all_tokens, task.pages)
         self.allocator.free_pages(task.pages)
@@ -420,8 +470,9 @@ class Scheduler:
         bucket = self.ex.pick_bucket(chunk)
         start = task.cache_len
 
-        if not self._alloc_pages_to(task, start + chunk + (1 if is_last else 0)):
-            return False  # OOM: wait for pages (decode keeps draining)
+        while not self._alloc_pages_to(task, start + chunk + (1 if is_last else 0)):
+            if not self._evict_lru_session():
+                return False  # OOM: wait for pages (decode keeps draining)
 
         S = self.ex.page_size
         tokens = np.zeros(bucket, np.int32)

@@ -299,6 +299,29 @@ def test_engine_mla_matches_naive_greedy(tiny_mla_model):
     assert got == expected
 
 
+def test_no_wasted_speculative_windows(tiny_model):
+    """ADVICE r1: speculative chaining must stop once the successor window
+    would run past a slot's limit — those windows execute full forwards with
+    every slot frozen. A lone greedy task needing 9 decode tokens with K=4
+    must dispatch exactly ceil(9/4)=3 windows."""
+    cfg, params = tiny_model
+    llm = make_llm(tiny_model, decode_multi_step=4, ignore_eos=True)
+    prompt = [5, 9, 12, 33, 17]
+    with DynamicBatchGenerator(llm) as gen:
+        sched = gen.scheduler
+        dispatched = []
+        orig = sched._dispatch_window
+
+        def counting(w, reuse_carry):
+            dispatched.append(w["K"])
+            return orig(w, reuse_carry)
+
+        sched._dispatch_window = counting
+        out = gen.generate(prompt, GeneratorArg(max_length=10)).outputs[0]
+    assert len(out.token_ids) == 10
+    assert len(dispatched) == 3, dispatched
+
+
 def test_late_joiner_carry_invalidation(tiny_model):
     """A task that finishes prefilling while another decodes must not chain
     from the stale device-resident decode carry (its row held token 0/ctx 0).

@@ -759,18 +759,26 @@ class Scheduler:
             for t in self.slots
         )
 
-    def _can_speculate(self) -> bool:
-        """May the next window be dispatched before this one's results are
-        read? Only in steady-state decode: nothing prefilling or queued (a
+    def _can_speculate(self, w) -> bool:
+        """May ``w``'s successor window be dispatched before ``w``'s results
+        are read? Only in steady-state decode: nothing prefilling or queued (a
         speculative window would delay their device time), no host-side
-        per-step features, and the device carry valid."""
-        return (
+        per-step features, the device carry valid, AND the successor window
+        fully usable by every active slot — pages are only allocated two
+        windows ahead and limits are carried on device, so a successor past
+        any slot's limit would run K full forward steps on frozen slots."""
+        if not (
             self.ex.decode_window > 1
             and not self.prefilling
             and self.queue.empty()
             and not self._force_k1()
             and self._decode_clean
-        )
+        ):
+            return False
+        K = w["K"]
+        ctx, lim = w["context_lens"], w["limits"]
+        active = ctx > 0
+        return bool(np.all(~active | (lim >= ctx + 2 * K - 1)))
 
     def _build_window(self, K: int):
         B = self.max_batch
@@ -848,7 +856,7 @@ class Scheduler:
             # CUDA streams; this is the window-granular equivalent)
             pend, self._pending = self._pending, None
             nxt = None
-            if self._can_speculate():
+            if self._can_speculate(pend):
                 nxt = dict(pend)
                 # the device carry advanced a full window for every slot
                 # (speculation requires it); advance the host view to match
@@ -870,7 +878,7 @@ class Scheduler:
         if w is None:
             return
         reuse = self._decode_clean
-        can_spec = self._can_speculate()  # evaluated BEFORE clearing the flag
+        can_spec = self._can_speculate(w)  # evaluated BEFORE clearing the flag
         self._dispatch_window(w, reuse_carry=reuse)
         self._decode_clean = True
         if can_spec:

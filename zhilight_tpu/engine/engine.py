@@ -69,9 +69,20 @@ class ModelExecutor:
         self.engine_cfg = engine_cfg
         self.sched_cfg = engine_cfg.scheduler
         self.cache_cfg = engine_cfg.cache
-        self.mesh = mesh if mesh is not None else make_mesh(
-            tp=engine_cfg.parallel.tp, dp=engine_cfg.parallel.dp
-        )
+        pcfg = engine_cfg.parallel
+        # multi-host: join the jax.distributed runtime (reference NCCL
+        # uniqueID broadcast, engine.cpp:122-133) and open the scheduler
+        # control channel (reference ZMQ HostCommunicator)
+        from ..parallel.control_plane import make_control_plane
+        from ..parallel.mesh import mesh_from_config
+
+        self.plane = make_control_plane(pcfg)
+        if mesh is not None:
+            self.mesh = mesh
+        elif pcfg.num_hosts > 1:
+            self.mesh = mesh_from_config(pcfg)
+        else:
+            self.mesh = make_mesh(tp=pcfg.tp, dp=pcfg.dp)
         from ..parallel import enable_kernel_partitioning
 
         enable_kernel_partitioning(self.mesh.devices.size > 1)

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config.engine_config import SchedulerConfig
 from ..kvcache.allocator import make_page_allocator
+from ..parallel.control_plane import ControlPlane, LocalPlane
 from .beam import BeamGroup, BeamHypo
 from ..models.base import DecodeMeta, PrefillMeta
 from ..ops.sampling import SamplingParams
@@ -38,9 +39,17 @@ logger = logging.getLogger(__name__)
 __all__ = ["Scheduler"]
 
 
+class _PlaneClosed(Exception):
+    """Rank 0 closed the control channel: orderly worker shutdown."""
+
+
 class Scheduler:
-    def __init__(self, executor: ModelExecutor):
+    def __init__(self, executor: ModelExecutor, plane: Optional[ControlPlane] = None):
         self.ex = executor
+        # multi-host lockstep channel (reference engine_->broadcast_data,
+        # batch_generator.cpp:1477-1480): rank 0 admits/cancels/closes, every
+        # rank replays the identical loop so all hosts enter the same jits
+        self.plane = plane or getattr(executor, "plane", None) or LocalPlane()
         self.cfg: SchedulerConfig = executor.sched_cfg
         self.queue: "queue.Queue[SearchTask]" = queue.Queue(maxsize=self.cfg.max_queue_size)
         self.allocator = make_page_allocator(
@@ -83,12 +92,23 @@ class Scheduler:
         self._pending = None
         self._spec_inflight = False
         self._deferred_release: List[SearchTask] = []
+        # rank-0 queue occupancy after this step's admission, broadcast so
+        # every host makes the same speculation decision (workers' local
+        # queues are always drained by replay)
+        self._queue_pressure = False
         # live beam-search groups keyed by primary task_id
         self.beam_groups: Dict[int, BeamGroup] = {}
-        # persistent sessions: id -> (tokens, pages, kv_len); pages stay
-        # referenced between turns (reference session support,
-        # batch_generator.cpp:1424-1444,1500-1516 + session_generator.py)
+        # persistent sessions: id -> (tokens, pages, kv_len, wall_ts, seq);
+        # pages stay referenced between turns (reference session support,
+        # batch_generator.cpp:1424-1444,1500-1516 + session_generator.py).
+        # LRU eviction orders by seq (deterministic across hosts); TTL expiry
+        # is a rank-0 wall-clock decision broadcast as a close event.
         self.sessions: Dict[str, tuple] = {}
+        self._session_seq = 0
+        # close_session requests from API threads, applied in-loop so every
+        # host frees the pages at the same step: (sid, done_event, result_box)
+        self._close_requests: List[tuple] = []
+        self._close_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     # public API
@@ -107,6 +127,10 @@ class Scheduler:
             self._thread = None
 
     def submit(self, task: SearchTask, wait: bool = True):
+        if self.plane.rank > 0:
+            raise RuntimeError(
+                "worker hosts accept no tasks; submit to the rank-0 server"
+            )
         need = task.prompt_len + task.arg.max_length
         capacity = self.ex.num_pages * self.ex.page_size
         if need > capacity or task.prompt_len >= self.ex.engine_cfg.max_model_len:
@@ -126,7 +150,23 @@ class Scheduler:
 
     def close_session(self, session_id: str) -> bool:
         """Release a session's retained KV pages (reference
-        BatchGenerator::close_session)."""
+        BatchGenerator::close_session). Applied inside the scheduler loop so
+        allocator mutations stay single-threaded and every host in a
+        multi-host mesh frees the pages at the same step."""
+        if self.plane.rank > 0:
+            return False  # worker hosts take session events from rank 0
+        if self._thread is None or not self._thread.is_alive():
+            return self._close_session_now(session_id)
+        ev = threading.Event()
+        box: List[bool] = []
+        with self._close_lock:
+            self._close_requests.append((session_id, ev, box))
+        self._wake.set()
+        if not ev.wait(timeout=30):
+            return False
+        return box[0]
+
+    def _close_session_now(self, session_id: str) -> bool:
         sess = self.sessions.pop(session_id, None)
         if sess is None:
             return False
@@ -148,13 +188,18 @@ class Scheduler:
     # main loop
     # ------------------------------------------------------------------
     def _run(self):
-        logger.info("scheduler loop started")
+        logger.info("scheduler loop started (rank %d/%d)", self.plane.rank, self.plane.world)
         try:
             while not self._stop.is_set():
                 did_work = self._step()
-                if not did_work:
+                if not did_work and self.plane.rank == 0:
+                    # workers don't sleep: their _sync_step blocks on the
+                    # control channel until rank 0's next iteration
                     self._wake.wait(timeout=0.002)
                     self._wake.clear()
+        except _PlaneClosed:
+            logger.info("control plane closed; worker scheduler exiting")
+            return
         except BaseException as e:  # propagate to all tasks, mirror reference
             logger.exception("scheduler crashed")
             for t in list(self.slots) + self.prefilling:
@@ -166,29 +211,94 @@ class Scheduler:
                 except queue.Empty:
                     break
             raise
+        finally:
+            if self.plane.rank == 0 and self.plane.world > 1:
+                try:  # release workers blocked on the channel
+                    self.plane.broadcast(None)
+                except OSError:
+                    pass
+                self.plane.close()
 
-    def _expire_sessions(self):
-        """TTL eviction for abandoned sessions (they pin KV pages)."""
+    def _expired_sids(self) -> List[str]:
+        """Rank-0 wall-clock TTL decision (broadcast as close events)."""
         ttl = self.cfg.session_ttl
         if not ttl or not self.sessions:
-            return
+            return []
         now = time.monotonic()
-        for sid in [s for s, v in self.sessions.items() if now - v[3] > ttl]:
-            logger.info("session %s expired; releasing KV pages", sid)
-            self.allocator.free_pages(self.sessions.pop(sid)[1])
+        return [s for s, v in self.sessions.items() if now - v[3] > ttl]
 
     def _evict_lru_session(self) -> bool:
-        """Free the least-recently-used idle session's pages (page pressure)."""
+        """Free the least-recently-used idle session's pages (page pressure).
+        Ordered by the deterministic store sequence, not wall time, so every
+        host evicts the same victim."""
         if not self.sessions:
             return False
-        sid = min(self.sessions, key=lambda s: self.sessions[s][3])
+        sid = min(self.sessions, key=lambda s: self.sessions[s][4])
         logger.info("page pressure: evicting idle session %s", sid)
         self.allocator.free_pages(self.sessions.pop(sid)[1])
         return True
 
-    def _step(self) -> bool:
-        self._expire_sessions()
+    def _cancelled(self, task: SearchTask) -> bool:
+        """Loop-visible cancellation: multi-host uses only the flag set at
+        step start (broadcast from rank 0), so all hosts agree."""
+        return task.sched_cancelled or (self.plane.world == 1 and task.cancelled)
+
+    def _apply_events(self, cancels: List[int], closes: List[str]) -> Dict[str, bool]:
+        results: Dict[str, bool] = {}
+        if cancels:
+            cs = set(cancels)
+            for t in list(self.slots) + self.prefilling:
+                if t is not None and t.task_id in cs:
+                    t.sched_cancelled = True
+        for sid in closes:
+            results[sid] = self._close_session_now(sid)
+        return results
+
+    def _sync_step(self):
+        """Per-iteration lockstep point. Rank 0 collects this step's
+        nondeterministic events (cancels, session closes, TTL expiries) and
+        admissions, applies them, and broadcasts; workers receive and replay
+        the identical sequence (reference: rank 0 pop_multi +
+        broadcast_data(new_tasks), batch_generator.cpp:1461-1480)."""
+        if self.plane.rank == 0:
+            with self._close_lock:
+                reqs, self._close_requests = self._close_requests, []
+            closes = [sid for sid, _, _ in reqs] + self._expired_sids()
+            cancels = []
+            if self.plane.world > 1:
+                cancels = [
+                    t.task_id
+                    for t in list(self.slots) + self.prefilling
+                    if t is not None and t.cancelled and not t.sched_cancelled
+                ]
+            results = self._apply_events(cancels, closes)
+            for sid, ev, box in reqs:
+                box.append(results.get(sid, False))
+                ev.set()
+            admitted = self._admit()
+            self._queue_pressure = not self.queue.empty()
+            if self.plane.world > 1:
+                self.plane.broadcast(
+                    (cancels, closes, [t.to_wire() for t in admitted],
+                     self._queue_pressure)
+                )
+            return
+        payload = self.plane.broadcast(None)
+        if payload is None:
+            raise _PlaneClosed()
+        cancels, closes, admitted_wire, self._queue_pressure = payload
+        self._apply_events(cancels, closes)
+        for d in admitted_wire:
+            self.queue.put_nowait(SearchTask.from_wire(d))
         self._admit()
+        if not self.queue.empty():  # states diverged — must never happen
+            raise RuntimeError(
+                f"worker admission replay diverged: {self.queue.qsize()} tasks "
+                "not admitted under the local allocator state"
+            )
+
+    def _step(self) -> bool:
+        self._sync_step()
         worked = False
         if self.prefilling:
             worked = self._prefill_one() or worked
@@ -212,16 +322,20 @@ class Scheduler:
                 return i
         return -1
 
-    def _admit(self):
+    def _admit(self) -> List[SearchTask]:
+        """Admit queued tasks under the free-KV budget; returns the tasks
+        admitted this step, in order (broadcast to workers for replay)."""
+        admitted: List[SearchTask] = []
         while True:
             slot = self._free_slot()
             if slot < 0:
-                return
+                return admitted
             try:
                 task = self.queue.queue[0]  # peek
             except IndexError:
-                return
-            if task.cancelled:
+                return admitted
+            if task.cancelled and self.plane.rank == 0:
+                # dropped pre-admission: never reached the workers
                 self.queue.get_nowait()
                 task.status = TaskStatus.CANCELLED
                 task.finish()
@@ -234,20 +348,22 @@ class Scheduler:
                 own = task.arg.session_id if task.arg.session_continue else None
                 cands = [s for s in self.sessions if s != own]
                 if cands:
-                    sid = min(cands, key=lambda s: self.sessions[s][3])
+                    sid = min(cands, key=lambda s: self.sessions[s][4])
                     logger.info("admission pressure: evicting idle session %s", sid)
                     self.allocator.free_pages(self.sessions.pop(sid)[1])
                     continue
-                return  # wait for memory
+                return admitted  # wait for memory
             if beams > 1:
                 free = [i for i, t in enumerate(self.slots) if t is None]
                 if len(free) < beams:
-                    return  # wait for slots
+                    return admitted  # wait for slots
                 self.queue.get_nowait()
                 self._assign_beam(task, free[:beams])
+                admitted.append(task)
                 continue
             self.queue.get_nowait()
             self._assign(task, slot)
+            admitted.append(task)
 
     def _assign(self, task: SearchTask, slot: int):
         self._decode_clean = False
@@ -260,7 +376,7 @@ class Scheduler:
         sid = task.arg.session_id
         if sid and task.arg.session_continue and sid in self.sessions:
             # exact session KV reuse; rollback trims to sess_chunk_pos
-            s_tokens, s_pages, s_len, _ts = self.sessions.pop(sid)
+            s_tokens, s_pages, s_len = self.sessions.pop(sid)[:3]
             usable = min(s_len, task.prompt_len - 1)
             if task.arg.sess_chunk_pos:
                 usable = min(usable, task.arg.sess_chunk_pos)
@@ -433,11 +549,13 @@ class Scheduler:
             old_sess = self.sessions.pop(sid, None)
             if old_sess is not None:
                 self.allocator.free_pages(old_sess[1])
+            self._session_seq += 1
             self.sessions[sid] = (
                 task.input_tokens + task.output_tokens,
                 list(task.pages),
                 task.total_len,
                 time.monotonic(),
+                self._session_seq,
             )
             task.pages = []
         elif (
@@ -457,7 +575,7 @@ class Scheduler:
 
     def _prefill_one(self) -> bool:
         task = self.prefilling[0]
-        if task.cancelled:
+        if self._cancelled(task):
             self.prefilling.pop(0)
             task.status = TaskStatus.CANCELLED
             self._release(task)
@@ -770,7 +888,7 @@ class Scheduler:
         if not (
             self.ex.decode_window > 1
             and not self.prefilling
-            and self.queue.empty()
+            and not self._queue_pressure
             and not self._force_k1()
             and self._decode_clean
         ):
@@ -906,7 +1024,7 @@ class Scheduler:
                 if id(group) in handled_groups:
                     continue
                 handled_groups.add(id(group))
-                if group.task.cancelled:
+                if self._cancelled(group.task):
                     group.task.finish_reason = group.task.finish_reason or "abort"
                     self._finish_beam_group(group)
                     continue
@@ -958,9 +1076,10 @@ class Scheduler:
                         {int(t): float(v) for t, v in zip(toptoks[j], toplps[j])}
                     )
                 emitted.append(tok)
-            if is_eos or is_stop or len(task.output_tokens) >= task.arg.max_length or task.cancelled:
+            cancelled = self._cancelled(task)
+            if is_eos or is_stop or len(task.output_tokens) >= task.arg.max_length or cancelled:
                 if not task.finish_reason:  # may be pre-set (e.g. stop-string hit)
-                    if task.cancelled:
+                    if cancelled:
                         task.finish_reason = "abort"
                     elif is_eos or is_stop:
                         task.finish_reason = "stop"
@@ -971,7 +1090,7 @@ class Scheduler:
         if emitted:
             task.emit_stream(emitted)
         if finished:
-            if task.cancelled:
+            if self._cancelled(task):
                 task.status = TaskStatus.CANCELLED
             else:
                 task.status = TaskStatus.FINISHED

@@ -131,6 +131,10 @@ class SearchTask:
 
         self.res_queue: "queue.Queue" = queue.Queue()
         self._cancelled = threading.Event()
+        # scheduler-visible cancel flag: set once per loop iteration from
+        # _cancelled (rank 0) or the control-plane broadcast (workers), so
+        # cancellation is applied at the same step on every host
+        self.sched_cancelled = False
         self.error: Optional[BaseException] = None
 
         # scheduler state (owned by the scheduler thread)
@@ -139,6 +143,34 @@ class SearchTask:
         self.cache_len: int = 0  # tokens already in KV cache
         self.prefix_hit_len: int = 0
         self.finish_reason: str = ""  # "stop" | "length" | "abort"
+
+    # -- multi-host wire format (reference SearchTask boost-serialization,
+    # src/generator/batch_generator.h:71-95) ------------------------------
+    def to_wire(self) -> dict:
+        import dataclasses
+
+        return {
+            "task_id": self.task_id,
+            "input_tokens": self.input_tokens,
+            "arg": dataclasses.asdict(self.arg),
+            "input_embeddings": self.input_embeddings,
+            "position_ids": self.position_ids,
+        }
+
+    @classmethod
+    def from_wire(cls, d: dict) -> "SearchTask":
+        """Rebuild a rank-0 task on a worker. task_id is forced to rank 0's
+        (it seeds per-slot sampling streams, so it must match everywhere);
+        stream is off — worker results are never read."""
+        t = cls(
+            d["input_tokens"],
+            GeneratorArg(**d["arg"]),
+            stream=False,
+            input_embeddings=d["input_embeddings"],
+            position_ids=d["position_ids"],
+        )
+        t.task_id = d["task_id"]
+        return t
 
     # -- lifecycle --------------------------------------------------------
     @property

@@ -54,6 +54,10 @@ class LLM:
         mesh=None,
     ):
         self.engine_config = engine_config or EngineConfig(model_path=model_path)
+        # multi-host: must precede every backend-initializing JAX call
+        from .parallel.mesh import ensure_distributed
+
+        ensure_distributed(self.engine_config.parallel)
         if model_path:
             cfg, qcfg, raw = load_model_config(model_path)
             self.model_config = model_config or cfg

@@ -42,11 +42,23 @@ def single_device_mesh(device=None) -> Mesh:
     return Mesh(np.asarray([dev]).reshape(1, 1), (DP_AXIS, TP_AXIS))
 
 
+_dist_initialized = False
+
+
+def ensure_distributed(pcfg: ParallelConfig):
+    """Join the jax.distributed runtime (idempotent). MUST run before any
+    JAX call that initializes the backend, so LLM calls it first thing."""
+    global _dist_initialized
+    if _dist_initialized or pcfg.num_hosts <= 1 or not pcfg.coordinator_address:
+        return
+    jax.distributed.initialize(
+        coordinator_address=pcfg.coordinator_address,
+        num_processes=pcfg.num_hosts,
+        process_id=pcfg.host_rank,
+    )
+    _dist_initialized = True
+
+
 def mesh_from_config(pcfg: ParallelConfig, devices: Optional[Sequence] = None) -> Mesh:
-    if pcfg.coordinator_address and pcfg.num_hosts > 1:
-        jax.distributed.initialize(
-            coordinator_address=pcfg.coordinator_address,
-            num_processes=pcfg.num_hosts,
-            process_id=pcfg.host_rank,
-        )
+    ensure_distributed(pcfg)
     return make_mesh(tp=pcfg.tp, dp=pcfg.dp, devices=devices)

@@ -361,12 +361,12 @@ def main(argv=None):
     served = args.served_model_name or os.path.basename(args.model_path.rstrip("/"))
 
     if args.node_rank > 0:
-        # multi-host workers serve no HTTP (reference api_server.py:152-154);
-        # they just participate in the jax.distributed mesh.
-        logger.info("worker node %d: serving no HTTP", args.node_rank)
-        import threading
-
-        threading.Event().wait()
+        # multi-host workers serve no HTTP (reference api_server.py:152-154).
+        # Their scheduler thread (started above) runs the full loop in
+        # lockstep with rank 0 via the control plane — every host enters the
+        # same jit steps — and exits when rank 0 shuts down.
+        logger.info("worker node %d: serving no HTTP, running lockstep scheduler", args.node_rank)
+        gen.scheduler._thread.join()
         return
 
     app = build_app(engine, served, api_key=args.api_key, enable_reasoning=args.enable_reasoning)

@@ -1,15 +1,20 @@
-"""Benchmark: serving decode throughput on the real chip.
+"""Benchmark: serving decode throughput + prefill TTFT on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+secondary keys {"ttft_ms", "ttft_vs_baseline"}.
 
 Workload: MiniCPM-2B geometry (the reference's single-GPU baseline row:
-QPS 1.67 / TPOT mean 26.1 ms on 1xAD102, BASELINE.md), random weights, batch
-16 continuous decode at context 512 through the PRODUCTION path —
-``ModelExecutor.run_decode_multi`` (multi-step window, device-side sampling,
-donated KV cache, Pallas paged attention + Pallas KV writes).
+QPS 1.67 / TPOT mean 26.1 ms / TTFT mean 434.6 ms on 1xAD102, BASELINE.md),
+random weights, batch 16 continuous decode at context 512 through the
+PRODUCTION path — ``ModelExecutor.run_decode_multi`` (multi-step window,
+device-side sampling, donated KV cache, Pallas paged attention + Pallas KV
+writes) — and a 3712-token prompt prefilled through the chunked-prefill path
+(``run_chunk``/``run_prefill``, Pallas flash prefill kernel).
 
-Baseline: ZhiLight's 26.1 ms TPOT at an equivalent 16-stream decode batch is
-16/0.0261 = 613 tokens/s/device.
+Baselines: ZhiLight's 26.1 ms TPOT at an equivalent 16-stream decode batch is
+16/0.0261 = 613 tokens/s/device; TTFT mean 434.64 ms at the benchmark's ~3.7k
+prompt (docs/benchmarks/benchmarks.md:56-60). ttft_vs_baseline is
+baseline_ms / measured_ms (higher is better).
 """
 
 import json
@@ -56,8 +61,11 @@ def main():
     MAX_PAGES = 34  # ctx 512 + decode window headroom
     WINDOWS = 10
 
+    # max_model_len sized for the TTFT prompt (3712 + 1); the decode loop
+    # passes its own narrow [B, 34] page tables so its compiled shapes (and
+    # the decode number) are unchanged
     ecfg = EngineConfig(
-        max_model_len=MAX_PAGES * PAGE,
+        max_model_len=3728,
         cache=CacheConfig(page_size=PAGE, num_pages=BATCH * MAX_PAGES),
         scheduler=SchedulerConfig(max_batch=BATCH),
     )
@@ -97,7 +105,51 @@ def main():
     dt = time.perf_counter() - t0
 
     toks_per_s = BATCH * K * WINDOWS / dt
+
+    # -- TTFT: 3712-token prompt through the chunked-prefill path ----------
+    from zhilight_tpu.models.base import PrefillMeta
+
+    PROMPT = 3712
+    CHUNK = 512
+    n_chunks = (PROMPT + CHUNK - 1) // CHUNK
+    n_pages = (PROMPT + 1 + PAGE - 1) // PAGE
+    pages = np.arange(n_pages, dtype=np.int32)
+    prompt_tokens = np.random.RandomState(0).randint(2, 1000, PROMPT).astype(np.int32)
+    sp1 = SamplingParams.greedy(1)
+
+    def prefill_once():
+        for c in range(n_chunks):
+            start = c * CHUNK
+            chunk = min(CHUNK, PROMPT - start)
+            bucket = ex.pick_bucket(chunk)
+            toks = np.zeros(bucket, np.int32)
+            toks[:chunk] = prompt_tokens[start : start + chunk]
+            pos = np.zeros(bucket, np.int32)
+            pos[:chunk] = np.arange(start, start + chunk)
+            slots = np.full(bucket, -1, np.int32)
+            slots[:chunk] = np.arange(start, start + chunk)
+            pt = np.full(ex.max_pages_per_seq, -1, np.int32)
+            pt[:n_pages] = pages
+            meta = PrefillMeta(
+                positions=jnp.asarray(pos),
+                slot_mapping=jnp.asarray(slots),
+                page_table=jnp.asarray(pt),
+                cache_len=jnp.int32(start),
+                q_len=jnp.int32(chunk),
+            )
+            if c + 1 < n_chunks:
+                ex.run_chunk(toks, meta)
+            else:
+                tok, _, _, _ = ex.run_prefill(toks, meta, sp1, 0, 0)
+        return tok
+
+    prefill_once()  # compile
+    t0 = time.perf_counter()
+    prefill_once()
+    ttft_ms = (time.perf_counter() - t0) * 1e3
+
     baseline = 613.0
+    ttft_baseline = 434.64
     print(
         json.dumps(
             {
@@ -105,6 +157,8 @@ def main():
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(toks_per_s / baseline, 3),
+                "ttft_ms": round(ttft_ms, 1),
+                "ttft_vs_baseline": round(ttft_baseline / ttft_ms, 3),
             }
         )
     )

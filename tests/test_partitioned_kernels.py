@@ -105,3 +105,48 @@ def test_write_partitioned_matches():
 
     assert "all-gather" not in hlo
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_prefill_partitioned_matches():
+    from zhilight_tpu.ops.attention import prefill_attention
+    from zhilight_tpu.ops.pallas.partitioned import (
+        paged_prefill_attention_hm_sharded,
+    )
+
+    mesh = _mesh()
+    rng = np.random.RandomState(2)
+    T, q_len, cache_len, Hq, Hkv, D = 64, 39, 21, 16, 8, 64
+    total = cache_len + q_len
+    Pg = (total + S - 1) // S + 2
+    maxp = (total + S - 1) // S
+    q = rng.randn(T, Hq, D).astype(np.float32)
+    k = rng.randn(Pg * S, Hkv, D).astype(np.float32)
+    v = rng.randn(Pg * S, Hkv, D).astype(np.float32)
+    pool = np.concatenate([k, v], axis=-1).transpose(1, 0, 2)
+    pages = rng.permutation(Pg)[:maxp].astype(np.int32)
+    scale = 1.0 / np.sqrt(D)
+
+    with mesh:
+        q_d = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P(None, "tp", None)))
+        pool_d = jax.device_put(jnp.asarray(pool), NamedSharding(mesh, P("tp", None, None)))
+        pt_d = jax.device_put(jnp.asarray(pages), NamedSharding(mesh, P()))
+
+        fn = jax.jit(
+            lambda q, pool, pt: paged_prefill_attention_hm_sharded(
+                q, pool, pt, jnp.int32(cache_len), jnp.int32(q_len), S, scale,
+                interpret=True,
+            )
+        )
+        hlo = fn.lower(q_d, pool_d, pt_d).compile().as_text()
+        got = np.asarray(jax.device_get(fn(q_d, pool_d, pt_d)))
+
+    assert "all-gather" not in hlo, "pool was gathered around the prefill kernel"
+
+    slot_idx = (pages[:, None] * S + np.arange(S)).reshape(-1)
+    want = prefill_attention(
+        jnp.asarray(q), jnp.asarray(k)[slot_idx], jnp.asarray(v)[slot_idx],
+        jnp.int32(cache_len), jnp.int32(q_len), scale, 0,
+    )
+    np.testing.assert_allclose(
+        got[:q_len], np.asarray(want)[:q_len], rtol=1e-2, atol=1e-2
+    )

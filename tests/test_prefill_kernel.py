@@ -1,0 +1,96 @@
+"""Chunked-prefill flash kernel vs the jnp reference (interpret mode).
+
+Covers the parity matrix of ``ops/pallas/prefill_attention``: first chunk,
+later chunks (cache_len > 0, non-page-aligned), ragged q_len, GQA group
+sizes, sliding window, multi-q-block chunks.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zhilight_tpu.ops.attention import prefill_attention
+from zhilight_tpu.ops.pallas.prefill_attention import paged_prefill_attention_hm
+
+S = 16
+
+
+def _setup(T, ctx_total, Hq, Hkv, D, seed=0):
+    """Build a chunk of T queries at positions [ctx_total - q_len, ctx_total)
+    over a head-major packed pool already holding ctx_total tokens."""
+    rng = np.random.RandomState(seed)
+    P = (ctx_total + S - 1) // S + 3
+    q = rng.randn(T, Hq, D).astype(np.float32)
+    k = rng.randn(P * S, Hkv, D).astype(np.float32)
+    v = rng.randn(P * S, Hkv, D).astype(np.float32)
+    maxp = (ctx_total + S - 1) // S
+    pages = rng.permutation(P)[:maxp].astype(np.int32)
+    return q, k, v, pages, P
+
+
+def _run(q, k, v, pages, cache_len, q_len, sliding_window=0):
+    Hkv = k.shape[1]
+    D = q.shape[-1]
+    scale = 1.0 / np.sqrt(D)
+    pool = np.concatenate([k, v], axis=-1).transpose(1, 0, 2)  # [Hkv, N, 2D]
+    got = paged_prefill_attention_hm(
+        jnp.asarray(q), jnp.asarray(pool), jnp.asarray(pages),
+        jnp.int32(cache_len), jnp.int32(q_len), S, scale,
+        sliding_window=sliding_window, interpret=True,
+    )
+    slots = (pages[:, None] * S + np.arange(S)).reshape(-1)
+    want = prefill_attention(
+        jnp.asarray(q), jnp.asarray(k)[slots], jnp.asarray(v)[slots],
+        jnp.int32(cache_len), jnp.int32(q_len), scale, sliding_window,
+    )
+    return np.asarray(got), np.asarray(want)
+
+
+@pytest.mark.parametrize("hkv,hq", [(2, 8), (4, 4), (1, 16)])
+def test_first_chunk_parity(hkv, hq):
+    T, q_len = 64, 50
+    q, k, v, pages, _ = _setup(T, q_len, hq, hkv, 64)
+    got, want = _run(q, k, v, pages, cache_len=0, q_len=q_len)
+    np.testing.assert_allclose(got[:q_len], want[:q_len], rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("cache_len", [16, 37, 160])
+def test_later_chunk_parity(cache_len):
+    """cache_len > 0 incl. non-page-aligned resume points."""
+    T, q_len = 32, 29
+    q, k, v, pages, _ = _setup(T, cache_len + q_len, 8, 2, 64, seed=cache_len)
+    got, want = _run(q, k, v, pages, cache_len=cache_len, q_len=q_len)
+    np.testing.assert_allclose(got[:q_len], want[:q_len], rtol=1e-2, atol=1e-2)
+
+
+def test_multi_qblock_chunk():
+    """T large enough for several q blocks (tq = 1024 // G = 256 at G=4)."""
+    T = 640
+    q, k, v, pages, _ = _setup(T, T, 8, 2, 64, seed=3)
+    got, want = _run(q, k, v, pages, cache_len=0, q_len=T)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_sliding_window():
+    T, cache_len = 48, 64
+    q, k, v, pages, _ = _setup(T, cache_len + T, 4, 4, 64, seed=7)
+    got, want = _run(q, k, v, pages, cache_len=cache_len, q_len=T,
+                     sliding_window=40)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_d128_packed():
+    T = 40
+    q, k, v, pages, _ = _setup(T, T, 8, 8, 128, seed=11)
+    got, want = _run(q, k, v, pages, cache_len=0, q_len=T)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_empty_tail_padding():
+    """q_len much smaller than the bucket: padding rows finite, valid exact."""
+    T, q_len = 128, 5
+    q, k, v, pages, _ = _setup(T, q_len, 8, 2, 64, seed=13)
+    got, want = _run(q, k, v, pages, cache_len=0, q_len=q_len)
+    np.testing.assert_allclose(got[:q_len], want[:q_len], rtol=1e-2, atol=1e-2)
+    assert np.all(np.isfinite(got))

@@ -176,10 +176,33 @@ def attention_layer(
     cache = write_kv(cache, layer_idx, k, v, meta.slot_mapping)
 
     if mode == "prefill":
-        ck, cv = gather_kv(cache, layer_idx, meta.page_table)
-        out = prefill_attention(
-            q, ck, cv, meta.cache_len, meta.q_len, scale, cfg.sliding_window
-        )
+        if _use_pallas_decode(cfg, cache) and cache.packed and not cache.quantized:
+            # flash chunked-prefill: stream context pages, no full gather
+            from ..parallel import kernel_partitioning_enabled
+
+            if kernel_partitioning_enabled():
+                from ..ops.pallas.partitioned import (
+                    paged_prefill_attention_hm_sharded as _pf,
+                )
+            else:
+                from ..ops.pallas.prefill_attention import (
+                    paged_prefill_attention_hm as _pf,
+                )
+            out = _pf(
+                q,
+                cache.k[layer_idx],
+                meta.page_table,
+                meta.cache_len,
+                meta.q_len,
+                cache.page_size,
+                scale,
+                cfg.sliding_window,
+            )
+        else:
+            ck, cv = gather_kv(cache, layer_idx, meta.page_table)
+            out = prefill_attention(
+                q, ck, cv, meta.cache_len, meta.q_len, scale, cfg.sliding_window
+            )
     elif _use_pallas_decode(cfg, cache) and cache.quantized:
         from ..ops.pallas.paged_attention import paged_decode_attention_q
 

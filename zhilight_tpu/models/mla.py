@@ -244,6 +244,13 @@ def _mla_decode(
     ).astype(q_nope.dtype)
 
 
+# kv tokens decompressed per scan block: bounds transient memory at
+# O(block * H * (nope + v)) instead of O(ctx * H * (nope + v)) — at DeepSeek
+# geometry (H=128, nope=v=128) a materialized 8k context is ~0.5 GB of K/V
+# plus ~2 GB of fp32 scores; a 256-token block is ~16 MB + 17 MB.
+_MLA_PREFILL_BLOCK = 256
+
+
 def _mla_prefill(
     q_nope: jax.Array,  # [T, H, nope]
     q_pe: jax.Array,  # [T, H, rope]
@@ -255,35 +262,58 @@ def _mla_prefill(
     scale: float,
     m,
 ) -> jax.Array:
-    """Chunk prefill: decompress context latents to per-head K/V then causal
-    attention (reference non-absorbed encode path; decompression covers
-    chunked-prefill and prefix-cache tokens uniformly)."""
+    """Chunk prefill: stream context latents in blocks — decompress each block
+    through kv_b_proj, attend with an online softmax, discard (flash-style;
+    reference flash varlen encode, attention.cpp:442-520). The non-absorbed
+    form is used because prefill is compute-bound: decompress-once costs
+    H*(nope+v) flops/token vs the absorbed path's 2*T*H*(lora+rope) —
+    decompression covers chunked-prefill and prefix-cache tokens uniformly."""
     T, H = q_nope.shape[0], q_nope.shape[1]
     KV = ctx.shape[0]
-    c_kv = ctx[..., : m.kv_lora_rank]
-    k_pe = ctx[..., m.kv_lora_rank : m.kv_lora_rank + m.qk_rope_head_dim]  # [KV, rope]
+    blk = min(_MLA_PREFILL_BLOCK, KV)
+    nb = (KV + blk - 1) // blk
+    ctx_p = jnp.pad(ctx, ((0, nb * blk - KV), (0, 0)))
+    blocks = ctx_p.reshape(nb, blk, ctx.shape[-1])
 
-    k_nope = jnp.einsum(
-        "sl,lhn->shn", c_kv, w_uk, preferred_element_type=jnp.float32
-    ).astype(q_nope.dtype)
-    v = jnp.einsum(
-        "sl,lhv->shv", c_kv, w_uv, preferred_element_type=jnp.float32
-    ).astype(q_nope.dtype)
+    q_pos = cache_len + jnp.arange(T, dtype=jnp.int32)  # [T]
+    total = cache_len + q_len
+    qn = q_nope
+    qp = q_pe
 
-    scores = jnp.einsum(
-        "thn,shn->hts", q_nope, k_nope, preferred_element_type=jnp.float32
+    def body(carry, inp):
+        m_run, l_run, acc = carry  # [H,T,1], [H,T,1], [H,T,v] fp32
+        bi, cb = inp
+        c_kv = cb[..., : m.kv_lora_rank]  # [blk, lora]
+        k_pe = cb[..., m.kv_lora_rank : m.kv_lora_rank + m.qk_rope_head_dim]
+        k_nope = jnp.einsum(
+            "sl,lhn->shn", c_kv, w_uk, preferred_element_type=jnp.float32
+        ).astype(qn.dtype)
+        v = jnp.einsum(
+            "sl,lhv->shv", c_kv, w_uv, preferred_element_type=jnp.float32
+        ).astype(qn.dtype)
+        s = jnp.einsum("thn,shn->hts", qn, k_nope, preferred_element_type=jnp.float32)
+        s += jnp.einsum("thr,sr->hts", qp, k_pe, preferred_element_type=jnp.float32)
+        s *= scale
+        k_pos = bi * blk + jax.lax.broadcasted_iota(jnp.int32, (T, blk), 1)
+        mask = (k_pos <= q_pos[:, None]) & (k_pos < total)
+        s = jnp.where(mask[None], s, NEG_INF)
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_run - m_new)
+        l_new = l_run * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        upd = jnp.einsum(
+            "hts,shv->htv", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc = acc * alpha + upd
+        return (m_new, l_new, acc), None
+
+    init = (
+        jnp.full((H, T, 1), NEG_INF, jnp.float32),
+        jnp.zeros((H, T, 1), jnp.float32),
+        jnp.zeros((H, T, m.v_head_dim), jnp.float32),
     )
-    scores += jnp.einsum(
-        "thr,sr->hts", q_pe, k_pe, preferred_element_type=jnp.float32
+    (m_f, l_f, acc), _ = jax.lax.scan(
+        body, init, (jnp.arange(nb, dtype=jnp.int32), blocks)
     )
-    scores *= scale
-
-    q_pos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (T, KV), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, KV), 1)
-    mask = (k_pos <= q_pos) & (k_pos < cache_len + q_len)
-    scores = jnp.where(mask[None], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
-
-    return jnp.einsum(
-        "hts,shv->thv", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(q_nope.dtype)
+    out = acc / jnp.maximum(l_f, 1e-20)  # [H, T, v]
+    return jnp.moveaxis(out, 0, 1).astype(q_nope.dtype)  # [T, H, v]

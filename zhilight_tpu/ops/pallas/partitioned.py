@@ -22,8 +22,13 @@ from jax.experimental.custom_partitioning import custom_partitioning
 
 from .attn_headmajor import paged_decode_attention_hm as _attn_hm
 from .kv_write import write_rows_hm as _write_hm
+from .prefill_attention import paged_prefill_attention_hm as _prefill_hm
 
-__all__ = ["paged_decode_attention_hm_sharded", "write_rows_hm_sharded"]
+__all__ = [
+    "paged_decode_attention_hm_sharded",
+    "paged_prefill_attention_hm_sharded",
+    "write_rows_hm_sharded",
+]
 
 
 def _shardings(tree):
@@ -67,6 +72,42 @@ def paged_decode_attention_hm_sharded(
         g=G,
     )
     return f(q, kv_pool, page_tables, context_lens)
+
+
+def paged_prefill_attention_hm_sharded(
+    q, kv_pool, page_table, cache_len, q_len, page_size, scale,
+    sliding_window=0, interpret=False,
+):
+    """paged_prefill_attention_hm with an SPMD rule: head-sharded q/pool run
+    the flash prefill kernel per shard. The token dim stays replicated (every
+    shard needs the full chunk's causal geometry); cache_len/q_len travel as
+    one replicated [2] meta array so every operand has a rank."""
+    import jax.numpy as jnp
+
+    meta = jnp.stack([jnp.int32(cache_len), jnp.int32(q_len)])
+
+    def _impl(q, pool, pt, meta):
+        return _prefill_hm(
+            q, pool, pt, meta[0], meta[1], page_size, scale,
+            sliding_window=sliding_window, interpret=interpret,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, pt, meta):
+            return _impl(q, pool, pt, meta)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    G = q.shape[1] // kv_pool.shape[0]
+    f.def_partition(
+        partition,
+        sharding_rule="t (h g) d, h n x, m, s -> t (h g) d",
+        need_replication_factors=("t", "d", "n", "x", "m", "s"),
+        g=G,
+    )
+    return f(q, kv_pool, page_table, meta)
 
 
 def write_rows_hm_sharded(pool, rows, slot_mapping, page_size, interpret=False):

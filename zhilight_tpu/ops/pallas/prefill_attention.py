@@ -1,0 +1,256 @@
+"""Pallas TPU kernel: chunked-prefill flash attention over the paged pool.
+
+Parity target: the reference's varlen flash-attention encode path
+(src/nn/attention/attention.cpp:442-520 attn_encode_group,
+src/nn/attention/flash_decoding.cpp:534) — prefill attention that streams the
+KV context instead of materializing it. The previous TPU path gathered the
+ENTIRE context into a contiguous ``[KV, H, D]`` buffer per layer per chunk and
+ran O(T*KV) masked XLA attention with full score materialization
+(``ops/attention.prefill_attention``); at 32k+ contexts that is quadratic HBM
+traffic and dominates TTFT.
+
+This kernel performs online-softmax attention for one prefill chunk directly
+against the HEAD-MAJOR packed pool ``[Hkv, N_slots, 2D]`` (K|V lane-packed,
+see ``kvcache/paged.py``), which already holds the chunk itself (the write
+kernel runs first):
+
+  * grid ``(Hkv, num_q_blocks, num_kv_blocks)`` — per-head 2-D matmuls (no
+    batched-dot layout constraints); kv innermost so m/l/acc scratch
+    accumulates across context blocks.
+  * q rows are grouped GQA queries: ``[TQ*G, 2D]`` with the V-half lanes
+    zeroed, so both dots stream the SAME fetched K|V buffer at full lane
+    width (the head-major decode kernel's single-stream trick).
+  * pages are DMAd ``pages_per_block`` at a time from HBM into a
+    double-buffered VMEM scratch (BlockSpec operand duplication caps at ~8
+    pages; prefill wants ~32-page blocks to amortize grid-step overhead).
+  * causality bounds the kv loop per q block: blocks wholly after the last
+    query of the block are neither computed nor fetched.
+
+HBM traffic per chunk is O(Hkv * num_q_blocks * ctx) with
+num_q_blocks = ceil(T*G / rows_per_block) kept at 1-2 by sizing blocks to
+~1024 rows — near the ideal single context read, vs O(ctx) full-context
+gather + O(T*ctx) score materialization for the old path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["paged_prefill_attention_hm"]
+
+NEG_INF = -2.0e38
+
+# target q rows (tokens * group) per block; keeps scores ~[1024, FS] fp32
+_ROWS_TARGET = 1024
+# kv tokens per block (pages_per_block * page_size aims at this)
+_KV_TOKENS_TARGET = 512
+
+
+def _kernel_prefill_hm(
+    # scalar prefetch
+    page_table_ref,  # [maxp] int32 (SMEM)
+    meta_ref,        # [2] int32: (cache_len, q_len)
+    # inputs
+    q_ref,    # [1, TQ*G, 2D] VMEM (V-half lanes zero)
+    kv_hbm,   # [Hkv, N_slots, 2D] ANY (HBM)
+    # output
+    o_ref,    # [1, TQ*G, 2D] VMEM (V-half lanes carry the result)
+    # scratch
+    m_ref,    # [TQ*G, 1] f32
+    l_ref,    # [TQ*G, 1] f32
+    acc_ref,  # [TQ*G, 2D] f32
+    kv_buf,   # [2, PPB*S, 2D]
+    sems,     # DMA semaphores [2, PPB]
+    *,
+    page_size: int,
+    pages_per_block: int,
+    num_blocks: int,
+    tq: int,
+    group: int,
+    scale: float,
+    sliding_window: int,
+):
+    h = pl.program_id(0)
+    qi = pl.program_id(1)
+    i = pl.program_id(2)
+    S, PPB = page_size, pages_per_block
+
+    cache_len = meta_ref[0]
+    q_len = meta_ref[1]
+    total = cache_len + q_len
+    num_valid_pages = pl.cdiv(total, S)
+
+    # exclusive causal bound for this q block: its last query sits at global
+    # position cache_len + min(q_len, (qi+1)*tq) - 1
+    q_hi = cache_len + jnp.minimum(q_len, (qi + 1) * tq)
+    q_active = (qi * tq) < q_len
+    needed_blocks = jnp.where(q_active, pl.cdiv(q_hi, S * PPB), 0)
+
+    def _block_active(blk):
+        return blk < needed_blocks
+
+    def _page_at(page_pos):
+        # clamp so every DMA lands on real data (masked out of the softmax;
+        # uninitialized VMEM would produce 0 * NaN in p @ v)
+        safe_pos = jnp.minimum(page_pos, jnp.maximum(num_valid_pages - 1, 0))
+        return page_table_ref[safe_pos]
+
+    def start_copies(block_idx, slot):
+        for j in range(PPB):
+            page = _page_at(block_idx * PPB + j)
+            pltpu.make_async_copy(
+                kv_hbm.at[h, pl.ds(page * S, S)],
+                kv_buf.at[slot, pl.ds(j * S, S)],
+                sems.at[slot, j],
+            ).start()
+
+    def wait_copies(block_idx, slot):
+        for j in range(PPB):
+            page = _page_at(block_idx * PPB + j)
+            pltpu.make_async_copy(
+                kv_hbm.at[h, pl.ds(page * S, S)],
+                kv_buf.at[slot, pl.ds(j * S, S)],
+                sems.at[slot, j],
+            ).wait()
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(_block_active(0))
+        def _():
+            start_copies(0, 0)
+
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(jnp.logical_and(i + 1 < num_blocks, _block_active(i + 1)))
+    def _prefetch():
+        start_copies(i + 1, next_slot)
+
+    @pl.when(_block_active(i))
+    def _compute():
+        wait_copies(i, slot)
+        q = q_ref[0]            # [TQ*G, 2D] storage dtype, V lanes zero
+        kv = kv_buf[slot]       # [PPB*S, 2D]
+        # scores contract the full packed width; kv's V half meets q's zero
+        # lanes and drops out. bf16 MXU operands, fp32 accumulation.
+        s = jax.lax.dot_general(
+            q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale               # [TQ*G, PPB*S] fp32
+
+        tok = i * (PPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row_tok = qi * tq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
+        qpos = cache_len + row_tok
+        mask = (tok <= qpos) & (tok < total) & (row_tok < q_len)
+        if sliding_window > 0:
+            mask &= tok > qpos - sliding_window
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # p @ kv streams the same buffer; lanes [D:] accumulate sum(p * V)
+        upd = jax.lax.dot_general(
+            p.astype(kv.dtype), kv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                       # [TQ*G, 2D] fp32
+        acc_ref[...] = acc_ref[...] * alpha + upd
+        m_ref[...] = m_new
+
+    @pl.when(i == num_blocks - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[...], 1e-20)
+        # full packed width out (K lanes are garbage, sliced off in XLA):
+        # keeping the write lane-shaped avoids a VMEM relayout
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def paged_prefill_attention_hm(
+    q: jax.Array,           # [T, Hq, D] current chunk queries (post-rope)
+    kv_pool: jax.Array,     # [Hkv, N_slots, 2D] head-major K|V packed pool
+    page_table: jax.Array,  # [maxp] int32 pages of this sequence; -1 pad
+    cache_len: jax.Array,   # scalar int32: tokens before this chunk
+    q_len: jax.Array,       # scalar int32: valid tokens in chunk (<= T)
+    page_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash chunked-prefill attention; returns [T, Hq, D] like
+    ``ops.attention.prefill_attention`` (pool must already contain the chunk's
+    K/V — the write kernel runs first, matching the XLA path's ordering)."""
+    T, Hq, D = q.shape
+    Hkv, N, D2 = kv_pool.shape
+    assert D2 == 2 * D, (D2, D)
+    S = page_size
+    G = Hq // Hkv
+    maxp = page_table.shape[0]
+
+    # q-block rows: multiples of G*8 (sublane) aiming at _ROWS_TARGET
+    tq = max(8, min(T, _ROWS_TARGET // G))
+    tq = max(8, tq // 8 * 8)
+    t_pad = (T + tq - 1) // tq * tq
+    num_q_blocks = t_pad // tq
+
+    ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
+    num_blocks = (maxp + ppb - 1) // ppb
+    ppb = (maxp + num_blocks - 1) // num_blocks  # fit tightly (decode's trick)
+
+    # [T, Hq, D] -> [Hkv, T*G, D] -> pad rows/lanes; V-half lanes zero
+    q_hm = jnp.moveaxis(q.reshape(T, Hkv, G, D), 1, 0).reshape(Hkv, T * G, D)
+    q_hm = jnp.pad(q_hm, ((0, 0), (0, (t_pad - T) * G), (0, D2 - D)))
+
+    safe_table = jnp.maximum(page_table, 0)
+    meta = jnp.stack([jnp.int32(cache_len), jnp.int32(q_len)])
+
+    def q_index(h, qi, i, *_):
+        return (h, qi, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Hkv, num_q_blocks, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, tq * G, D2), q_index),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tq * G, D2), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((tq * G, 1), jnp.float32),
+            pltpu.VMEM((tq * G, 1), jnp.float32),
+            pltpu.VMEM((tq * G, D2), jnp.float32),
+            pltpu.VMEM((2, ppb * S, D2), kv_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, ppb)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_prefill_hm,
+        page_size=S,
+        pages_per_block=ppb,
+        num_blocks=num_blocks,
+        tq=tq,
+        group=G,
+        scale=scale,
+        sliding_window=sliding_window,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, t_pad * G, D2), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(safe_table, meta, q_hm, kv_pool)
+    # V lanes carry the result: [Hkv, t_pad*G, 2D] -> [T, Hq, D]
+    out = out[:, : T * G, D:]
+    return jnp.moveaxis(out.reshape(Hkv, T, G, D), 0, 1).reshape(T, Hq, D)

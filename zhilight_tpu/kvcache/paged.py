@@ -144,12 +144,14 @@ def _use_packed(head_dim: int, quantized: bool) -> bool:
     """Lane-packed head-major K|V pools for any head_dim whose packed width
     tiles the 128-lane registers — including D=128 (the packing is not just
     a padding fix for D<128: it halves pool count and feeds the head-major
-    kernel, whose zero-padded-q trick reads K and V in one stream)."""
+    kernel, whose zero-padded-q trick reads K and V in one stream). int8
+    caches pack the same way (int8 elements + slot-major scales; the hm_q
+    kernel folds scales into scores/probabilities)."""
     import os
 
     if os.environ.get("ZT_NO_PACKED_KV") == "1":
         return False
-    return not quantized and (2 * head_dim) % 128 == 0
+    return (2 * head_dim) % 128 == 0
 
 
 def new_kv_cache(
@@ -168,7 +170,23 @@ def new_kv_cache(
         # decode kernel's batched dots (no per-block transpose), and page
         # write windows (H, S, 2D) are DMA-legal for any head count
         shape = (num_kv_heads, num_pages * page_size, 2 * head_dim)
-        mk = tuple(alloc_zeros(shape, dtype, kv_sharding) for _ in range(num_layers))
+        store_dtype = jnp.int8 if quantized else dtype
+        mk = tuple(
+            alloc_zeros(shape, store_dtype, kv_sharding) for _ in range(num_layers)
+        )
+        if quantized:
+            # per-(token, head) absmax scales stay slot-major [N, H]: they
+            # scatter layout-neutrally (tiny rows) and the hm_q kernel
+            # fetches (S, H) page blocks directly
+            sshape = (num_pages * page_size, num_kv_heads)
+            mks = lambda: tuple(
+                alloc_zeros(sshape, jnp.float32, scale_sharding)
+                for _ in range(num_layers)
+            )
+            return KVCache(
+                k=mk, k_scale=mks(), v_scale=mks(),
+                page_size=page_size, packed=True,
+            )
         return KVCache(k=mk, page_size=page_size, packed=True)
     shape = (num_pages * page_size, num_kv_heads, head_dim)
     store_dtype = jnp.int8 if quantized else dtype
@@ -236,6 +254,35 @@ def write_kv(
     src/kvcache/ragged_buffer_kernel.cu): Pallas in-place DMA kernel on TPU,
     dim-0 XLA scatter elsewhere."""
     feature = k_new.shape[-2] * k_new.shape[-1] if k_new.ndim == 3 else k_new.shape[-1]
+    if cache.packed and cache.quantized:
+        k_q, k_s = _quantize_rows(k_new)
+        v_q, v_s = _quantize_rows(v_new)
+        rows = jnp.concatenate([k_q, v_q], axis=-1)  # [T, H, 2D] int8
+        if _pallas_writes_on():
+            from ..parallel import kernel_partitioning_enabled
+
+            if kernel_partitioning_enabled():
+                from ..ops.pallas.partitioned import write_rows_hm_sharded
+
+                kv = write_rows_hm_sharded(
+                    cache.k[layer], rows, slot_mapping, cache.page_size
+                )
+            else:
+                from ..ops.pallas.kv_write import write_rows_hm
+
+                kv = write_rows_hm(cache.k[layer], rows, slot_mapping, cache.page_size)
+        else:
+            idx_hm = jnp.where(slot_mapping >= 0, slot_mapping, cache.num_slots)
+            kv = cache.k[layer].at[:, idx_hm].set(
+                jnp.swapaxes(rows, 0, 1), mode="drop"
+            )
+        idx = jnp.where(slot_mapping >= 0, slot_mapping, cache.num_slots)
+        return cache.set_layer(
+            layer,
+            k=kv,
+            k_scale=cache.k_scale[layer].at[idx].set(k_s, mode="drop"),
+            v_scale=cache.v_scale[layer].at[idx].set(v_s, mode="drop"),
+        )
     if cache.packed:
         rows = jnp.concatenate(
             [k_new.astype(cache.k[layer].dtype), v_new.astype(cache.k[layer].dtype)],
@@ -345,7 +392,13 @@ def gather_kv(
     if cache.packed:
         kv = jnp.moveaxis(cache.k[layer][:, slots], 0, -2)  # [..., KV, H, 2D]
         d = kv.shape[-1] // 2
-        return kv[..., :d], kv[..., d:]
+        k, v = kv[..., :d], kv[..., d:]
+        if cache.quantized:
+            ks = cache.k_scale[layer][slots]
+            vs = cache.v_scale[layer][slots]
+            k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+            v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+        return k, v
     k = cache.k[layer][slots]
     v = cache.v[layer][slots]
     if cache.quantized:

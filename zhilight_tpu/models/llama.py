@@ -203,6 +203,28 @@ def attention_layer(
             out = prefill_attention(
                 q, ck, cv, meta.cache_len, meta.q_len, scale, cfg.sliding_window
             )
+    elif _use_pallas_decode(cfg, cache) and cache.quantized and cache.packed:
+        # int8 packed head-major: half the decode HBM bytes of bf16
+        from ..parallel import kernel_partitioning_enabled
+
+        if kernel_partitioning_enabled():
+            from ..ops.pallas.partitioned import (
+                paged_decode_attention_hm_q_sharded as paged_decode_attention_hm_q,
+            )
+        else:
+            from ..ops.pallas.attn_headmajor import paged_decode_attention_hm_q
+
+        out = paged_decode_attention_hm_q(
+            q,
+            cache.k[layer_idx],
+            cache.k_scale[layer_idx],
+            cache.v_scale[layer_idx],
+            meta.page_tables,
+            meta.context_lens,
+            cache.page_size,
+            scale,
+            cfg.sliding_window,
+        )
     elif _use_pallas_decode(cfg, cache) and cache.quantized:
         from ..ops.pallas.paged_attention import paged_decode_attention_q
 

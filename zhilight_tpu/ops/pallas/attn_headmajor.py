@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["paged_decode_attention_hm"]
+__all__ = ["paged_decode_attention_hm", "paged_decode_attention_hm_q"]
 
 NEG_INF = -2.0e38
 
@@ -178,4 +178,172 @@ def paged_decode_attention_hm(
         ),
         interpret=interpret,
     )(safe_tables, context_lens, q_g, *([kv_pool] * FPB))
+    return out.reshape(B, Hq, D)
+
+
+# ---------------------------------------------------------------------------
+# INT8-quantized variant (reference quant_attention.cuh int8 cache decode):
+# same head-major packed pool geometry but int8 elements, with the existing
+# slot-major per-(token, head) absmax scales [N, Hkv]. Scales never touch the
+# K/V elements: the K scale folds into the SCORES (s[t] *= ks[t]) and the V
+# scale into the probabilities (p[t] *= vs[t]) before the second dot — O(T)
+# work instead of O(T*2D) row dequantization, and the kernel still streams
+# the fetched buffer once at half the bf16 HBM bytes.
+# ---------------------------------------------------------------------------
+
+def _kernel_hm_q(
+    # scalar prefetch
+    page_tables_ref,   # [B, maxp]
+    context_lens_ref,  # [B]
+    # blocks
+    *refs,
+    page_size: int,
+    fetch_pages: int,
+    num_blocks: int,
+    scale: float,
+    sliding_window: int,
+    packed_dim: int,
+):
+    F = fetch_pages
+    q_ref = refs[0]                     # [1, Hkv, G, 2D] (q zero-padded)
+    kv_refs = refs[1 : 1 + F]           # each [Hkv, S, 2D] int8
+    ks_refs = refs[1 + F : 1 + 2 * F]   # each [S, Hkv] f32
+    vs_refs = refs[1 + 2 * F : 1 + 3 * F]
+    o_ref, m_ref, l_ref, acc_ref = refs[1 + 3 * F :]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ctx = context_lens_ref[b]
+    S, FPB = page_size, fetch_pages
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    num_valid_pages = pl.cdiv(ctx, S)
+
+    @pl.when((i * FPB) < num_valid_pages)
+    def _compute():
+        q = q_ref[0]                                            # [Hkv, G, 2D]
+        kv = jnp.concatenate([r[:] for r in kv_refs], axis=1)   # [Hkv, T, 2D] i8
+        kvf = kv.astype(q.dtype)                                # cast, no scale
+        ks = jnp.concatenate([r[:] for r in ks_refs], axis=0)   # [T, Hkv] f32
+        vs = jnp.concatenate([r[:] for r in vs_refs], axis=0)
+        ks_h = jnp.swapaxes(ks, 0, 1)[:, None, :]               # [Hkv, 1, T]
+        vs_h = jnp.swapaxes(vs, 0, 1)[:, None, :]
+        s = jax.lax.dot_general(
+            q, kvf, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                               # [Hkv, G, T]
+        s = s * ks_h                                            # K dequant
+        token_idx = i * (FPB * S) + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=2
+        )
+        mask = token_idx < ctx
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, token_idx > ctx - 1 - sliding_window)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        upd = jax.lax.dot_general(
+            (p * vs_h).astype(kvf.dtype), kvf, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                       # V dequant via p
+        acc_ref[...] = acc_ref[...] * alpha + upd
+        m_ref[...] = m_new
+
+    @pl.when(i == num_blocks - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[...], 1e-20)
+        o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
+
+
+def paged_decode_attention_hm_q(
+    q: jax.Array,          # [B, Hq, D]
+    kv_pool: jax.Array,    # [Hkv, N_slots, 2D] head-major K|V packed, int8
+    k_scales: jax.Array,   # [N_slots, Hkv] f32 per-(token, head) absmax
+    v_scales: jax.Array,
+    page_tables: jax.Array,
+    context_lens: jax.Array,
+    page_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    fetch_pages: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    Hkv, N, D2 = kv_pool.shape
+    S = page_size
+    G = Hq // Hkv
+    maxp = page_tables.shape[1]
+    FPB = min(fetch_pages, maxp)
+    num_blocks = (maxp + FPB - 1) // FPB
+    FPB = (maxp + num_blocks - 1) // num_blocks
+
+    q_g = jnp.pad(q.reshape(B, Hkv, G, D), ((0, 0), (0, 0), (0, 0), (0, D2 - D)))
+    safe_tables = jnp.maximum(page_tables, 0)
+
+    def q_index(b, i, *_):
+        return (b, 0, 0, 0)
+
+    def kv_index_at(j):
+        def kv_index(b, i, page_tables_ref, context_lens_ref):
+            ctx = context_lens_ref[b]
+            valid = pl.cdiv(ctx, S)
+            pos = i * FPB + j
+            page = page_tables_ref[b, jnp.minimum(pos, jnp.maximum(valid - 1, 0))]
+            return (0, page, 0)
+
+        return kv_index
+
+    def sc_index_at(j):
+        def sc_index(b, i, page_tables_ref, context_lens_ref):
+            ctx = context_lens_ref[b]
+            valid = pl.cdiv(ctx, S)
+            pos = i * FPB + j
+            page = page_tables_ref[b, jnp.minimum(pos, jnp.maximum(valid - 1, 0))]
+            return (page, 0)
+
+        return sc_index
+
+    kv_specs = [pl.BlockSpec((Hkv, S, D2), kv_index_at(j)) for j in range(FPB)]
+    sc_specs = [pl.BlockSpec((S, Hkv), sc_index_at(j)) for j in range(FPB)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, num_blocks),
+        in_specs=[pl.BlockSpec((1, Hkv, G, D2), q_index)]
+        + kv_specs + sc_specs + sc_specs,
+        out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, G, D2), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_hm_q,
+        page_size=S,
+        fetch_pages=FPB,
+        num_blocks=num_blocks,
+        scale=scale,
+        sliding_window=sliding_window,
+        packed_dim=D,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        safe_tables, context_lens, q_g,
+        *([kv_pool] * FPB), *([k_scales] * FPB), *([v_scales] * FPB),
+    )
     return out.reshape(B, Hq, D)

@@ -20,12 +20,16 @@ from __future__ import annotations
 import jax
 from jax.experimental.custom_partitioning import custom_partitioning
 
-from .attn_headmajor import paged_decode_attention_hm as _attn_hm
+from .attn_headmajor import (
+    paged_decode_attention_hm as _attn_hm,
+    paged_decode_attention_hm_q as _attn_hm_q,
+)
 from .kv_write import write_rows_hm as _write_hm
 from .prefill_attention import paged_prefill_attention_hm as _prefill_hm
 
 __all__ = [
     "paged_decode_attention_hm_sharded",
+    "paged_decode_attention_hm_q_sharded",
     "paged_prefill_attention_hm_sharded",
     "write_rows_hm_sharded",
 ]
@@ -72,6 +76,39 @@ def paged_decode_attention_hm_sharded(
         g=G,
     )
     return f(q, kv_pool, page_tables, context_lens)
+
+
+def paged_decode_attention_hm_q_sharded(
+    q, kv_pool, k_scales, v_scales, page_tables, context_lens, page_size,
+    scale, sliding_window=0, fetch_pages=8, interpret=False,
+):
+    """paged_decode_attention_hm_q with an SPMD rule: the int8 pool shards
+    its kv-head dim, the slot-major [N, Hkv] scales shard their HEAD dim
+    (dim 1) alongside it; batch metadata may shard for attention-DP."""
+
+    def _impl(q, pool, ks, vs, pt, cl):
+        return _attn_hm_q(
+            q, pool, ks, vs, pt, cl, page_size, scale,
+            sliding_window=sliding_window, fetch_pages=fetch_pages,
+            interpret=interpret,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, ks, vs, pt, cl):
+            return _impl(q, pool, ks, vs, pt, cl)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    G = q.shape[1] // kv_pool.shape[0]
+    f.def_partition(
+        partition,
+        sharding_rule="b (h g) d, h n x, n h, n h, b m, b -> b (h g) d",
+        need_replication_factors=("d", "n", "x", "m"),
+        g=G,
+    )
+    return f(q, kv_pool, k_scales, v_scales, page_tables, context_lens)
 
 
 def paged_prefill_attention_hm_sharded(

@@ -73,9 +73,10 @@ def _pick_tiles(M, K, N, gs):
 def _w4a16_packed_kernel(
     x_lo_ref,  # [TM, TKh]  activations for the low-nibble rows
     x_hi_ref,  # [TM, TKh]  activations for the high-nibble rows (k + K/2)
+    xs_ref,    # [TM, G] f32: per-group activation sums (precomputed in XLA)
     w_ref,     # [TKh, TN] uint8: two nibble planes
     s_ref,     # [G, TN] f32
-    z_ref,     # [G, TN] f32
+    sz_ref,    # [G, TN] f32: scale * zero (precomputed in XLA)
     o_ref,     # [TM, TN]
     acc_ref,   # [TM, TN] f32
     *,
@@ -83,6 +84,12 @@ def _w4a16_packed_kernel(
     k_steps: int,
     k_half_groups: int,  # group-row offset of the high plane (K/2 // gs)
 ):
+    """Minimal-VPU dequant: the group dequantization (w - z) * s is folded
+    OUT of the per-weight path — acc += s_g * (x_g @ w_q_g) - sum(x_g) * s_g z_g
+    (a per-group output scale plus a rank-1 zero correction, both O(TM*TN)
+    per group) — so each weight costs one nibble extract + one cast, not
+    subtract+multiply+cast. This is the Marlin-style algebra on the VPU
+    budget instead of tensor-core fragments (gptq_marlin.cu)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -98,19 +105,17 @@ def _w4a16_packed_kernel(
         (w32 & 0xF, x_lo_ref, 0),
         (w32 >> 4, x_hi_ref, k_half_groups),
     ):
-        wq = plane.astype(jnp.float32)
+        wq = plane.astype(x_lo_ref.dtype)  # one cast per weight
         for g in range(gpb):
             row = grow0 + k * gpb + g
-            sgrp = s_ref[row, :]
-            zgrp = z_ref[row, :]
-            w = (
-                (wq[g * group_size : (g + 1) * group_size, :] - zgrp[None, :])
-                * sgrp[None, :]
-            ).astype(x_lo_ref.dtype)
-            acc_ref[...] += jax.lax.dot(
+            pdot = jax.lax.dot(
                 x_ref[:, g * group_size : (g + 1) * group_size],
-                w,
+                wq[g * group_size : (g + 1) * group_size, :],
                 preferred_element_type=jnp.float32,
+            )  # [TM, TN]
+            acc_ref[...] += (
+                pdot * s_ref[row, :][None, :]
+                - xs_ref[:, row][:, None] * sz_ref[row, :][None, :]
             )
 
     @pl.when(k == k_steps - 1)
@@ -138,6 +143,11 @@ def _w4a16_packed(x2, w_packed, scales, zeros, interpret):
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     k_steps = Kh // TKh
 
+    # per-group activation sums + fused scale*zero for the kernel's rank-1
+    # zero correction (XLA-side: O(M*K) + O(G*N), off the hot VPU path)
+    xs = jnp.sum(x2.reshape(Mp, G, gs).astype(jnp.float32), axis=-1)  # [Mp, G]
+    sz = scales * zeros
+
     out = pl.pallas_call(
         functools.partial(
             _w4a16_packed_kernel,
@@ -149,6 +159,7 @@ def _w4a16_packed(x2, w_packed, scales, zeros, interpret):
         in_specs=[
             pl.BlockSpec((TM, TKh), lambda n, m, k: (m, k)),           # x lo
             pl.BlockSpec((TM, TKh), lambda n, m, k: (m, k)),           # x hi
+            pl.BlockSpec((TM, G), lambda n, m, k: (m, 0)),             # x sums
             pl.BlockSpec((TKh, TN), lambda n, m, k: (k, n)),
             pl.BlockSpec((G, TN), lambda n, m, k: (0, n)),
             pl.BlockSpec((G, TN), lambda n, m, k: (0, n)),
@@ -165,7 +176,7 @@ def _w4a16_packed(x2, w_packed, scales, zeros, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2[:, :Kh], x2[:, Kh:], w_packed, scales, zeros)
+    )(x2[:, :Kh], x2[:, Kh:], xs, w_packed, scales, sz)
     return out[:M] if Mp != M else out
 
 

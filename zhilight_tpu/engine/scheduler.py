@@ -300,8 +300,13 @@ class Scheduler:
     def _step(self) -> bool:
         self._sync_step()
         worked = False
-        if self.prefilling:
-            worked = self._prefill_one() or worked
+        # decode BEFORE prefill: the decode window (and the successor of an
+        # in-flight speculative window) enters the device queue ahead of the
+        # prefill chunk, so decode fetches never wait behind chunk compute —
+        # without this, TPOT p95 under mixed load spikes by ~chunk latency
+        # (reference fuses encode+search groups into one forward instead,
+        # join_forward, batch_generator.cpp:1337-1423). The chunk dispatched
+        # below is async and fills the device queue behind the window.
         # the pending check matters when the LAST decoding tasks finished
         # while a speculative window was in flight: no slot is in DECODE any
         # more, but that window must still be drained (and the deferred page
@@ -311,6 +316,8 @@ class Scheduler:
         ):
             self._decode_step()
             worked = True
+        if self.prefilling:
+            worked = self._prefill_one() or worked
         return worked
 
     # ------------------------------------------------------------------

@@ -1,0 +1,57 @@
+"""Pipeline parallelism wired into the serving engine (VERDICT r1 #10).
+
+A pp=4 engine on the 8-device CPU mesh must produce the same greedy tokens
+as the plain single-device engine, end-to-end through DynamicBatchGenerator
+(chunked prefill + decode + sessions of the real scheduler loop).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zhilight_tpu.config import (
+    CacheConfig, EngineConfig, ModelConfig, ParallelConfig, SchedulerConfig,
+)
+from zhilight_tpu.engine import DynamicBatchGenerator, GeneratorArg
+from zhilight_tpu.llm import LLM
+from zhilight_tpu.models import llama as L
+
+VOCAB, EOS = 64, 1
+
+
+def _run_engine(cfg, params, prompts, pp):
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=4, num_pages=64),
+        scheduler=SchedulerConfig(
+            max_batch=4, chunk_size=8, prefill_buckets=(8, 16, 32), eos_id=EOS,
+        ),
+        parallel=ParallelConfig(pp=pp),
+    )
+    llm = LLM(model_config=cfg, params=params, engine_config=ecfg)
+    if pp > 1:
+        assert llm.executor.pp == pp and llm.executor.stacked
+    gen = DynamicBatchGenerator(llm).start()
+    rs = gen.batch_generate(prompts, GeneratorArg(max_length=8))
+    out = [r.outputs[0].token_ids for r in rs]
+    gen.stop()
+    return out
+
+
+def test_pp_engine_matches_single_device():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = ModelConfig(
+        model_type="llama", num_layers=4, dim_model=32, num_heads=4,
+        dim_head=8, num_kv_heads=2, dim_ff=64, vocab_size=VOCAB,
+        dtype="float32",
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.RandomState(3)
+    prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (5, 11, 19)]
+
+    base = _run_engine(cfg, params, prompts, pp=1)
+    pp = _run_engine(cfg, params, prompts, pp=4)
+    assert base == pp

@@ -80,6 +80,9 @@ class ParallelConfig:
 
     tp: int = 1                          # model (tensor-parallel) axis size
     dp: int = 1                          # data-parallel axis size (attention-DP for MLA)
+    pp: int = 1                          # pipeline-parallel stages (layer ranges;
+                                         # memory-capacity lever — reference
+                                         # recommends TP first, so do we)
     ep: int = 0                          # expert-parallel size; 0 => fold into tp
     # multi-host
     num_hosts: int = 1
@@ -88,7 +91,7 @@ class ParallelConfig:
 
     @property
     def num_devices(self) -> int:
-        return self.tp * self.dp
+        return self.tp * self.dp * self.pp
 
 
 @dataclass(frozen=True)

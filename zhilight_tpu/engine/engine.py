@@ -82,27 +82,54 @@ class ModelExecutor:
         elif pcfg.num_hosts > 1:
             self.mesh = mesh_from_config(pcfg)
         else:
-            self.mesh = make_mesh(tp=pcfg.tp, dp=pcfg.dp)
+            self.mesh = make_mesh(tp=pcfg.tp, dp=pcfg.dp, pp=pcfg.pp)
         from ..parallel import enable_kernel_partitioning
 
-        enable_kernel_partitioning(self.mesh.devices.size > 1)
+        # partitioning rules apply to jit-visible tp/dp sharding; under a
+        # pp-only mesh the kernels run inside shard_map on local shards,
+        # where custom_partitioning must NOT wrap them
+        _shape = dict(self.mesh.shape)
+        enable_kernel_partitioning(
+            _shape.get("tp", 1) * _shape.get("dp", 1) > 1
+        )
         self.rope = llama_mod.build_rope(cfg, engine_cfg.max_model_len)
+
+        # pipeline parallelism: layer stages over the pp mesh axis
+        # (models/pipeline.py shard_map; reference partition_layer_devices,
+        # allocate_util.hpp:12-22). Memory-capacity lever — composes with
+        # neither tp nor dp for now (reference recommends TP first; so do we).
+        self.pp = dict(self.mesh.shape).get("pp", pcfg.pp)
+        if self.pp > 1:
+            if pcfg.tp > 1 or pcfg.dp > 1:
+                raise NotImplementedError("pp composes with tp/dp later; use pp alone")
+            if not stacked_mod.is_stackable(cfg):
+                raise ValueError("pipeline parallelism needs homogeneous layers")
+            if cfg.num_layers % self.pp:
+                raise ValueError(f"num_layers {cfg.num_layers} % pp {self.pp} != 0")
 
         # homogeneous-layer models CAN scan over stacked params (3 Pallas
         # kernels total, depth-independent compile — models/stacked.py), but
         # on current XLA the layer-scan carries the full KV pool and copies it
         # per iteration, so the per-layer loop stays the default. Opt in with
-        # ZT_STACK=1.
+        # ZT_STACK=1. PP implies the stacked layout (stages scan their local
+        # layer slice).
         import os as _os
 
-        self.stacked = (
+        self.stacked = self.pp > 1 or (
             stacked_mod.is_stackable(cfg) and _os.environ.get("ZT_STACK") == "1"
         )
-        if self.stacked:
-            params = stacked_mod.stack_params(cfg, params)
 
-        with self.mesh:
-            self.params = shard_params(params, self.mesh)
+        if self.pp > 1:
+            from ..models import pipeline as pipeline_mod
+
+            self._pp_fwd = pipeline_mod.PPForwards(self.mesh)
+            self.params = pipeline_mod.shard_params_pp(cfg, params, self.mesh)
+        else:
+            self._pp_fwd = None
+            if self.stacked:
+                params = stacked_mod.stack_params(cfg, params)
+            with self.mesh:
+                self.params = shard_params(params, self.mesh)
         params = None  # drop the pre-sharding reference before cache alloc
 
         self.page_size = self.cache_cfg.page_size
@@ -142,6 +169,11 @@ class ModelExecutor:
         self._compiled: Dict[Any, Callable] = {}
         # device-resident decode window carry (see run_decode_multi)
         self._decode_carry: Optional[tuple] = None
+
+
+    def _fwd_mod(self):
+        """Forward-function provider: PP adapter, stacked module, or per-layer."""
+        return self._pp_fwd or (stacked_mod if self.stacked else llama_mod)
 
     # ------------------------------------------------------------------
     # sizing
@@ -223,7 +255,16 @@ class ModelExecutor:
             pages = self.num_pages * (cfg.num_layers if self.stacked else 1)
             quantized = self.cache_cfg.kv_dtype == "int8"
             packed = _use_packed(cfg.dim_head, quantized)
-            kv_spec = P(TP_AXIS, None, None) if packed else P(None, TP_AXIS, None)
+            if self.pp > 1:
+                # PP shards the SLOT dim (layer-major slots: each stage's
+                # layers form a contiguous slot range, models/pipeline.py)
+                from ..models.pipeline import PP_AXIS
+
+                kv_spec = P(None, PP_AXIS, None) if packed else P(PP_AXIS, None, None)
+                scale_spec = P(PP_AXIS, None)
+            else:
+                kv_spec = P(TP_AXIS, None, None) if packed else P(None, TP_AXIS, None)
+                scale_spec = P(None, TP_AXIS)
             return new_kv_cache(
                 layers,
                 pages,
@@ -233,7 +274,7 @@ class ModelExecutor:
                 cfg.jax_dtype,
                 quantized=quantized,
                 kv_sharding=NamedSharding(self.mesh, kv_spec),
-                scale_sharding=NamedSharding(self.mesh, P(None, TP_AXIS)),
+                scale_sharding=NamedSharding(self.mesh, scale_spec),
             )
 
     def _new_sampler_state(self) -> SamplerState:
@@ -259,7 +300,7 @@ class ModelExecutor:
         )
         def chunk_step(params, tokens, cache, meta, emb):
             if self.stacked:
-                return stacked_mod.backbone_chunk(
+                return self._fwd_mod().backbone_chunk(
                     params, cfg, rope, tokens, meta, cache,
                     input_embeddings=emb if with_emb else None,
                 )
@@ -284,7 +325,7 @@ class ModelExecutor:
         )
         def prefill_step(params, tokens, cache, sampler_state, meta, sparams, slot, key,
                          bias_tok, bias_val, pen_tok, pen_val, emb):
-            mod = stacked_mod if self.stacked else llama_mod
+            mod = self._fwd_mod()
             logits, cache = mod.forward_prefill(
                 params, cfg, rope, tokens, meta, cache,
                 input_embeddings=emb if with_emb else None,
@@ -324,7 +365,7 @@ class ModelExecutor:
             out_shardings=(rep, rep, rep, rep, self._cache_fmt, self._state_fmt),
         )
         def decode_step(params, tokens, cache, sampler_state, meta, sparams, key, num_logprobs):
-            mod = stacked_mod if self.stacked else llama_mod
+            mod = self._fwd_mod()
             logits, cache = mod.forward_decode(params, cfg, rope, tokens, meta, cache)
             tok, lp, toplp, toptok, new_state = sample_step(
                 logits.astype(jnp.float32), sampler_state, sparams, key, num_logprobs=num_logprobs
@@ -370,7 +411,7 @@ class ModelExecutor:
                     page_tables=page_tables,
                     context_lens=context_lens,
                 )
-                mod = stacked_mod if self.stacked else llama_mod
+                mod = self._fwd_mod()
                 logits, cache = mod.forward_decode(params, cfg, rope, tokens, meta, cache)
                 tok, lp, toplp, toptok, state2 = sample_step(
                     logits.astype(jnp.float32), state, sparams, key,
@@ -455,7 +496,7 @@ class ModelExecutor:
 
         @jax.jit
         def score(params, tokens, meta, cache):
-            mod = stacked_mod if self.stacked else llama_mod
+            mod = self._fwd_mod()
             logits, _ = mod.forward_score(params, cfg, rope, tokens, meta, cache)
             return logits
 

@@ -42,20 +42,31 @@ from .base import DecodeMeta
 from . import llama as L
 from . import stacked as SK
 
-__all__ = ["forward_decode_pp", "forward_prefill_pp", "shard_params_pp", "PP_AXIS"]
+__all__ = [
+    "forward_decode_pp",
+    "forward_prefill_pp",
+    "shard_params_pp",
+    "cache_pspec",
+    "PPForwards",
+    "PP_AXIS",
+]
 
 PP_AXIS = "pp"
 
 Params = Dict[str, jax.Array]
 
 
-def _check_unpacked(cache: KVCache) -> None:
-    if cache.packed:
-        raise NotImplementedError(
-            "pipeline parallelism splits the KV pool on its slot dim, which "
-            "is dim 1 in head-major packed pools; run PP models with "
-            "ZT_NO_PACKED_KV=1 (slot-major split pools) for now"
-        )
+def cache_pspec(cache: KVCache):
+    """Per-leaf PartitionSpecs splitting the pool on its SLOT dim over pp
+    (layer-major slots make each stage's layers a contiguous slot range):
+    dim 1 for head-major packed pools [H, N, X], dim 0 otherwise
+    ([N, H, D] pools, [N, H] scales, [N, L] latent)."""
+    def spec(x):
+        s = [None] * x.ndim
+        s[1 if (x.ndim == 3 and cache.packed) else 0] = PP_AXIS
+        return P(*s)
+
+    return jax.tree.map(spec, cache)
 
 
 def shard_params_pp(cfg: ModelConfig, params: Params, mesh: Mesh) -> Params:
@@ -90,8 +101,8 @@ def _forward_pp(
     cache: KVCache,  # single pool, slots layer-major, sharded P("pp") on dim 0
     mesh: Mesh,
     mode: str,
+    input_embeddings=None,
 ) -> Tuple[jax.Array, KVCache]:
-    _check_unpacked(cache)
     pp = mesh.shape[PP_AXIS]
     layers_per_stage = cfg.num_layers // pp
     pages_per_layer = cache.num_pages // cfg.num_layers
@@ -103,12 +114,12 @@ def _forward_pp(
 
     param_specs = jax.tree.map(lambda _: rep, params)
     param_specs["layer_stack"] = jax.tree.map(lambda _: layer_leaf_spec, params["layer_stack"])
-    cache_specs = jax.tree.map(lambda _: P(PP_AXIS), cache)
+    cache_specs = cache_pspec(cache)
 
-    def stage_fn(params_l, tokens, meta, cache_l):
+    def stage_fn(params_l, tokens, meta, cache_l, emb):
         # params_l["layer_stack"]: local [layers_per_stage, ...]
         stage = jax.lax.axis_index(PP_AXIS)
-        x = L.embed(params_l, cfg, tokens)
+        x = L.embed(params_l, cfg, tokens) if emb is None else emb
 
         def apply_stage(x, cache_pool):
             def body(carry, xs):
@@ -144,7 +155,8 @@ def _forward_pp(
                         q_len=meta.q_len,
                     )
                 x, pool = L.decoder_layer(
-                    p, cfg, rope, x, meta.positions, pool, 0, meta_l, mode
+                    p, cfg, rope, x, meta.positions, pool, 0, meta_l,
+                    "decode" if mode == "decode" else "prefill",
                 )
                 return (x, pool), None
 
@@ -166,6 +178,10 @@ def _forward_pp(
                 perm = [(i, (i + 1) % pp) for i in range(pp)]
                 x = jax.lax.ppermute(x, PP_AXIS, perm)
 
+        if mode == "chunk":
+            # intermediate prefill chunk: only the cache writes matter
+            return jnp.zeros((1,), jnp.float32), cache_l
+
         # final hidden lives on the last stage; broadcast it back
         x = jax.lax.psum(
             jnp.where(stage == pp - 1, x, jnp.zeros_like(x)), PP_AXIS
@@ -179,11 +195,14 @@ def _forward_pp(
     fn = shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(param_specs, rep, jax.tree.map(lambda _: rep, meta), cache_specs),
+        in_specs=(
+            param_specs, rep, jax.tree.map(lambda _: rep, meta), cache_specs,
+            rep if input_embeddings is not None else None,
+        ),
         out_specs=(rep, cache_specs),
     )
     # KVCache is a pytree; shard_map sees its leaves
-    logits, cache = fn(params, tokens, meta, cache)
+    logits, cache = fn(params, tokens, meta, cache, input_embeddings)
     return logits, cache
 
 
@@ -191,7 +210,37 @@ def forward_decode_pp(params, cfg, rope, tokens, meta: DecodeMeta, cache, mesh):
     return _forward_pp(params, cfg, rope, tokens, meta, cache, mesh, "decode")
 
 
-def forward_prefill_pp(params, cfg, rope, tokens, meta, cache, mesh):
+def forward_prefill_pp(params, cfg, rope, tokens, meta, cache, mesh,
+                       input_embeddings=None):
     """Prefill across pp stages; returns logits for the last prompt token
     (stacked.forward_prefill semantics)."""
-    return _forward_pp(params, cfg, rope, tokens, meta, cache, mesh, "prefill")
+    return _forward_pp(params, cfg, rope, tokens, meta, cache, mesh, "prefill",
+                       input_embeddings)
+
+
+class PPForwards:
+    """Executor-facing adapter with the llama/stacked module signatures, so
+    ``ModelExecutor`` dispatches PP forwards exactly like the other modes
+    (reference: partition_layer_devices makes PP transparent to the
+    generator, allocate_util.hpp:12-22)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def forward_decode(self, params, cfg, rope, tokens, meta, cache):
+        return forward_decode_pp(params, cfg, rope, tokens, meta, cache, self.mesh)
+
+    def forward_prefill(self, params, cfg, rope, tokens, meta, cache,
+                        input_embeddings=None):
+        return forward_prefill_pp(
+            params, cfg, rope, tokens, meta, cache, self.mesh,
+            input_embeddings=input_embeddings,
+        )
+
+    def backbone_chunk(self, params, cfg, rope, tokens, meta, cache,
+                       input_embeddings=None):
+        _, cache = _forward_pp(
+            params, cfg, rope, tokens, meta, cache, self.mesh, "chunk",
+            input_embeddings,
+        )
+        return cache

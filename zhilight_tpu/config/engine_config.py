@@ -41,7 +41,10 @@ class SchedulerConfig:
     """Continuous-batching scheduler knobs (reference DynBatchConfig parity)."""
 
     max_batch: int = 32                  # decode slots
-    max_total_token: int = 8192          # KV token budget for admission control
+    # KV token budget: caps the paged pool (and so admission control).
+    # 0 => auto (size the pool from free HBM; 8192 on CPU). Set explicitly
+    # to bound KV memory below what HBM sizing would take.
+    max_total_token: int = 0
     max_queue_size: int = 1024
     chunk_size: int = 512                # chunked-prefill chunk (token bucket)
     # prefill length buckets (token counts) for compile-shape control
@@ -66,6 +69,18 @@ class SchedulerConfig:
     # 0 disables TTL. Under page pressure the LRU idle session is evicted
     # regardless of TTL.
     session_ttl: float = 600.0
+    # fraction of a task's max_length counted against the free-KV budget at
+    # admission. 1.0 reserves the worst case (no task can ever stall on
+    # pages); < 1.0 admits optimistically — most generations stop well before
+    # max_length — relying on preemption as the pressure valve (reference
+    # SwapBuf flow, batch_generator.cpp:329-358).
+    admission_reserve: float = 1.0
+    # what preemption does with the victim's KV: "swap" offloads the pages to
+    # host RAM and restores them on resume (reference SwapBuf); "recompute"
+    # drops them and re-prefills prompt+generated tokens (cheaper than the
+    # transfer for short contexts; the only mode on multi-host meshes, where
+    # per-host shard offload isn't wired).
+    preempt_mode: str = "swap"
 
 
 @dataclass(frozen=True)

@@ -210,10 +210,15 @@ class ModelExecutor:
         if free <= 0:
             # CPU tests / unknown platform: budget from max_total_token
             return max(
-                _round_up(self.sched_cfg.max_total_token, self.page_size) // self.page_size,
+                _round_up(self.sched_cfg.max_total_token or 8192, self.page_size)
+                // self.page_size,
                 8,
             )
         tokens = int(free // per_token)
+        if self.sched_cfg.max_total_token:
+            # explicit KV token budget caps the pool even when HBM sizing
+            # succeeds (operator memory-headroom knob)
+            tokens = min(tokens, self.sched_cfg.max_total_token)
         if not cc.enable_prefix_caching:
             # without prefix retention, pages beyond the maximum concurrent
             # context are unusable
@@ -458,8 +463,10 @@ class ModelExecutor:
             oob = jnp.where(dst >= 0, dst, cache.num_slots)
 
             def upd(arr):
-                # packed pools are head-major: slots live on dim 1
-                if cache.packed:
+                # packed POOLS are head-major (slots on dim 1); their int8
+                # scale leaves stay slot-major [N, H] (dim 0), as do all
+                # non-packed leaves
+                if cache.packed and arr.ndim == 3:
                     rows = arr[:, safe_src]
                     return arr.at[:, oob].set(rows, mode="drop")
                 lead = arr.shape[0]
@@ -482,6 +489,69 @@ class ModelExecutor:
         dst[: len(dst_rows)] = dst_rows
         fn = self._get(("copy_rows", m), lambda: self._copy_rows_fn(m))
         self.cache = fn(self.cache, jnp.asarray(src), jnp.asarray(dst))
+        self._decode_carry = None  # cache buffer replaced; force re-sync
+
+    def _gather_rows_fn(self, m: int):
+        """Read cache rows (all layers) for host offload — the device half of
+        preemption swap-out (reference SwapBuf device->host copies,
+        batch_generator.cpp:329-358)."""
+
+        @jax.jit
+        def gather_rows(cache, rows):
+            safe = jnp.maximum(rows, 0)
+
+            def g(arr):
+                if cache.packed and arr.ndim == 3:
+                    return arr[:, safe]
+                lead = arr.shape[0]
+                return arr.reshape(lead, -1)[safe]
+
+            return jax.tree.map(g, cache)
+
+        return gather_rows
+
+    def _restore_rows_fn(self, m: int):
+        @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=self._cache_fmt)
+        def restore_rows(cache, rows, data):
+            oob = jnp.where(rows >= 0, rows, cache.num_slots)
+
+            def s(arr, rws):
+                if cache.packed and arr.ndim == 3:
+                    return arr.at[:, oob].set(rws, mode="drop")
+                lead = arr.shape[0]
+                flat = arr.reshape(lead, -1)
+                return flat.at[oob].set(rws, mode="drop").reshape(arr.shape)
+
+            return jax.tree.map(s, cache, data)
+
+        return restore_rows
+
+    @staticmethod
+    def _pad_rows(rows: np.ndarray):
+        m = 1
+        while m < len(rows):
+            m *= 2
+        out = np.full(m, -1, np.int32)
+        out[: len(rows)] = rows
+        return out, m
+
+    def swap_out_rows(self, rows: np.ndarray):
+        """Download cache rows (slot indices, all layers) to host numpy.
+
+        Reads ``self.cache`` — always the newest async handle, so XLA dataflow
+        orders the gather after any in-flight writes. Does not mutate the
+        cache; the caller frees the pages afterwards."""
+        padded, m = self._pad_rows(rows)
+        fn = self._get(("gather_rows", m), lambda: self._gather_rows_fn(m))
+        return jax.device_get(fn(self.cache, jnp.asarray(padded)))
+
+    def swap_in_rows(self, rows: np.ndarray, data):
+        """Upload previously swapped-out rows into (freshly allocated) slots.
+        ``data`` is the pytree returned by :meth:`swap_out_rows`; row count
+        must match."""
+        padded, m = self._pad_rows(rows)
+        fn = self._get(("restore_rows", m), lambda: self._restore_rows_fn(m))
+        self.cache = fn(self.cache, jnp.asarray(padded), data)
         self._decode_carry = None  # cache buffer replaced; force re-sync
 
     def _record_fn(self, bucket: int):

@@ -64,6 +64,12 @@ class Scheduler:
         # tasks admitted but still prefilling (FIFO; one chunked at a time like
         # the reference's chunking_b single-task restriction)
         self.prefilling: List[SearchTask] = []
+        # tasks whose KV pages were reclaimed under pressure (optimistic
+        # admission's valve, reference SwapBuf batch_generator.cpp:329-358);
+        # resumed FIFO with strict priority over new admissions
+        self.preempted: List[SearchTask] = []
+        self._admit_seq = 0
+        self.num_preemptions = 0  # cumulative, for metrics/tests
         self.step_index = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -177,7 +183,12 @@ class Scheduler:
         deadline = time.monotonic() + timeout if timeout else None
         while True:
             with self._lock:
-                idle = self._active == 0 and self.queue.empty() and not self.prefilling
+                idle = (
+                    self._active == 0
+                    and self.queue.empty()
+                    and not self.prefilling
+                    and not self.preempted
+                )
             if idle:
                 return True
             if deadline and time.monotonic() > deadline:
@@ -202,7 +213,7 @@ class Scheduler:
             return
         except BaseException as e:  # propagate to all tasks, mirror reference
             logger.exception("scheduler crashed")
-            for t in list(self.slots) + self.prefilling:
+            for t in list(self.slots) + self.prefilling + self.preempted:
                 if t is not None and t.status not in (TaskStatus.FINISHED, TaskStatus.FAILED):
                     t.fail(e)
             while not self.queue.empty():
@@ -247,7 +258,7 @@ class Scheduler:
         results: Dict[str, bool] = {}
         if cancels:
             cs = set(cancels)
-            for t in list(self.slots) + self.prefilling:
+            for t in list(self.slots) + self.prefilling + self.preempted:
                 if t is not None and t.task_id in cs:
                     t.sched_cancelled = True
         for sid in closes:
@@ -268,7 +279,7 @@ class Scheduler:
             if self.plane.world > 1:
                 cancels = [
                     t.task_id
-                    for t in list(self.slots) + self.prefilling
+                    for t in list(self.slots) + self.prefilling + self.preempted
                     if t is not None and t.cancelled and not t.sched_cancelled
                 ]
             results = self._apply_events(cancels, closes)
@@ -329,10 +340,32 @@ class Scheduler:
                 return i
         return -1
 
+    def _outstanding_reserve(self) -> int:
+        """Tokens promised to live tasks but not yet backed by pages. At
+        ``admission_reserve=1.0`` admission against
+        ``free - outstanding`` is truly worst-case: no task can ever stall on
+        pages (beam hypotheses carry 0 — the primary holds the whole group's
+        reservation, which over-counts shared pages, i.e. errs conservative)."""
+        S = self.ex.page_size
+        out = 0
+        seen = set()
+        for t in list(self.slots) + self.prefilling + self.preempted:
+            if t is None or id(t) in seen:
+                continue
+            seen.add(id(t))
+            out += max(0, t.reserved_tokens - len(t.pages) * S)
+        return out
+
     def _admit(self) -> List[SearchTask]:
         """Admit queued tasks under the free-KV budget; returns the tasks
         admitted this step, in order (broadcast to workers for replay)."""
         admitted: List[SearchTask] = []
+        # preempted tasks resume first, and block new admissions until they
+        # are all back (strict priority — otherwise fresh tasks could starve
+        # a preempted one indefinitely by consuming freed pages)
+        while self.preempted:
+            if not self._try_resume():
+                return admitted
         while True:
             slot = self._free_slot()
             if slot < 0:
@@ -348,8 +381,14 @@ class Scheduler:
                 task.finish()
                 continue
             beams = max(task.arg.beam_size, 1)
-            need = (task.prompt_len + task.arg.max_length) * beams
-            if need > self.allocator.free_token_capacity():
+            reserve = task.arg.max_length
+            if beams == 1 and self.cfg.admission_reserve < 1.0:
+                # optimistic admission: most generations stop well before
+                # max_length; preemption reclaims pages if the bet loses
+                reserve = max(1, int(reserve * self.cfg.admission_reserve))
+            need = (task.prompt_len + reserve) * beams
+            task.reserved_tokens = need
+            if need > self.allocator.free_token_capacity() - self._outstanding_reserve():
                 # idle sessions pin pages; evict the LRU one (never the
                 # session this task is about to resume) before giving up
                 own = task.arg.session_id if task.arg.session_continue else None
@@ -377,6 +416,8 @@ class Scheduler:
         task.slot = slot
         task.status = TaskStatus.PREFILL
         self.slots[slot] = task
+        self._admit_seq += 1
+        task.admit_seq = self._admit_seq
         with self._lock:
             self._active += 1
 
@@ -422,7 +463,12 @@ class Scheduler:
             task.cache_len = cached
             task.prefix_hit_len = cached
 
-        # per-slot sampling params
+        self._set_slot_params(task, slot)
+        self.ex.record_prompt(slot, task.input_tokens)
+        self.prefilling.append(task)
+
+    def _set_slot_params(self, task: SearchTask, slot: int):
+        """Load a task's sampling params into its slot's rows."""
         a = task.arg
         sp = self._sp_host
         sp["temperature"][slot] = a.sampling_temperature
@@ -437,9 +483,6 @@ class Scheduler:
         sp["frequency_penalty"][slot] = a.frequency_penalty
         sp["seed"][slot] = a.seed or task.task_id
         self._sp_dirty = True
-
-        self.ex.record_prompt(slot, task.input_tokens)
-        self.prefilling.append(task)
 
     def _assign_beam(self, task: SearchTask, slots: List[int]):
         """Admit a beam-search task: the primary occupies slots[0] and
@@ -467,6 +510,121 @@ class Scheduler:
         for h in hypo_tasks:
             h._beam_group = group
         self.beam_groups[task.task_id] = group
+
+    # ------------------------------------------------------------------
+    # preemption / restore (reference SwapBuf, batch_generator.cpp:329-358)
+    # ------------------------------------------------------------------
+    def _preempt_mode(self) -> str:
+        # per-host shard offload isn't wired for multi-host meshes; recompute
+        # is pure host logic and replays deterministically on every rank
+        if self.plane.world > 1:
+            return "recompute"
+        return self.cfg.preempt_mode
+
+    def _preempt_one(self, newer_than: int) -> bool:
+        """Reclaim the pages of the newest-admitted plain decode task (victim
+        must be newer than the beneficiary, or pressure would invert FIFO
+        priority). Swap mode downloads the written pages to host RAM first;
+        recompute mode just drops them (the resume re-prefills prompt+output).
+        Only legal with no decode window in flight — an in-flight program
+        still writes to its tasks' pages."""
+        if self._pending is not None:
+            return False
+        mode = self._preempt_mode()
+        cands = [
+            t
+            for t in self.slots
+            if t is not None
+            and t.status == TaskStatus.DECODE
+            and t.admit_seq > newer_than
+            and getattr(t, "_beam_group", None) is None
+            # recompute can't rebuild multimodal KV (the embeddings cover
+            # only the prompt portion); swap restores it byte-identically
+            and not (mode == "recompute" and t.input_embeddings is not None)
+        ]
+        if not cands:
+            return False
+        victim = max(cands, key=lambda t: t.admit_seq)
+        S = self.ex.page_size
+        # written KV rows cover positions 0..total_len-2: the last sampled
+        # token's row is written by the NEXT decode step
+        used = (victim.total_len - 1 + S - 1) // S
+        if mode == "swap":
+            rows = (
+                np.asarray(victim.pages[:used], np.int64)[:, None] * S
+                + np.arange(S)
+            ).reshape(-1)
+            victim.swap_state = self.ex.swap_out_rows(rows.astype(np.int32))
+        logger.info(
+            "page pressure: preempting task %d (%s, %d tokens, %d pages)",
+            victim.task_id, mode, victim.total_len, len(victim.pages),
+        )
+        self.allocator.free_pages(victim.pages)
+        victim.pages = []
+        victim.cache_len = 0
+        self.slots[victim.slot] = None
+        victim.slot = -1
+        with self._lock:
+            self._active -= 1
+        victim.status = TaskStatus.PREEMPTED
+        self.preempted.append(victim)
+        self.num_preemptions += 1
+        self._decode_clean = False
+        return True
+
+    def _try_resume(self) -> bool:
+        """Restore the oldest preempted task if a slot + its conservative KV
+        need (cached context + full remaining output) are available — the
+        conservative bound keeps a resumed task from thrashing back out."""
+        task = self.preempted[0]
+        if self._cancelled(task):
+            self.preempted.pop(0)
+            task.status = TaskStatus.CANCELLED
+            task.swap_state = None
+            task.finish()
+            return True
+        remaining = task.arg.max_length - len(task.output_tokens)
+        need = task.total_len - 1 + remaining
+        # its own (pageless) reservation is inside _outstanding_reserve
+        avail = self.allocator.free_token_capacity() - (
+            self._outstanding_reserve() - task.reserved_tokens
+        )
+        if need > avail:
+            return False
+        slot = self._free_slot()
+        if slot < 0:
+            return False
+        task.reserved_tokens = need  # full remaining worst case: no thrash
+        self.preempted.pop(0)
+        task.slot = slot
+        self.slots[slot] = task
+        with self._lock:
+            self._active += 1
+        self._set_slot_params(task, slot)
+        self.ex.record_prompt(slot, task.input_tokens + task.output_tokens)
+        self._decode_clean = False
+        if task.swap_state is not None:
+            # restore the written rows (positions 0..total_len-2; the next
+            # decode step writes total_len-1 as usual)
+            ok = self._alloc_pages_to(task, task.total_len - 1)
+            assert ok, "free-capacity check guarantees the pages"
+            S = self.ex.page_size
+            rows = (
+                np.asarray(task.pages, np.int64)[:, None] * S + np.arange(S)
+            ).reshape(-1)
+            self.ex.swap_in_rows(rows.astype(np.int32), task.swap_state)
+            task.swap_state = None
+            task.cache_len = task.prompt_len
+            task.status = TaskStatus.DECODE
+            logger.info("resumed task %d from host swap", task.task_id)
+        else:
+            # recompute: re-prefill prompt + generated tokens (pure cache
+            # writes; no sampling), then rejoin decode
+            task.resume_decode = True
+            task.status = TaskStatus.PREFILL
+            self.prefilling.insert(0, task)
+            logger.info("resumed task %d via recompute prefill", task.task_id)
+        return True
 
     def _sampling_params(self) -> SamplingParams:
         if self._sp_dirty or self._sp_device is None:
@@ -589,19 +747,28 @@ class Scheduler:
             task.finish()
             return True
 
-        remaining = task.prompt_len - task.cache_len
+        # decode-resume recompute re-prefills the generated tokens too
+        ctx_tokens = (
+            task.input_tokens + task.output_tokens
+            if task.resume_decode
+            else task.input_tokens
+        )
+        remaining = len(ctx_tokens) - task.cache_len
         chunk = min(remaining, self.cfg.chunk_size)
         is_last = chunk == remaining
         bucket = self.ex.pick_bucket(chunk)
         start = task.cache_len
 
         while not self._alloc_pages_to(task, start + chunk + (1 if is_last else 0)):
-            if not self._evict_lru_session():
-                return False  # OOM: wait for pages (decode keeps draining)
+            if self._evict_lru_session():
+                continue
+            if self._preempt_one(newer_than=task.admit_seq):
+                continue
+            return False  # OOM: wait for pages (decode keeps draining)
 
         S = self.ex.page_size
         tokens = np.zeros(bucket, np.int32)
-        tokens[:chunk] = task.input_tokens[start : start + chunk]
+        tokens[:chunk] = ctx_tokens[start : start + chunk]
         positions = np.zeros(bucket, np.int32)
         if task.position_ids is not None:
             # multimodal custom positions (reference SearchTask.position_ids,
@@ -631,6 +798,19 @@ class Scheduler:
             self.ex.run_chunk(tokens, meta, embeddings=emb_chunk)
             task.cache_len += chunk
             self.step_index += 1
+            return True
+
+        if task.resume_decode:
+            # recompute resume: the final chunk is pure cache writes too (the
+            # next token was already sampled before preemption) — rejoin the
+            # decode batch directly
+            self.ex.run_chunk(tokens, meta, embeddings=emb_chunk)
+            task.cache_len = len(ctx_tokens)
+            self.step_index += 1
+            self.prefilling.pop(0)
+            task.resume_decode = False
+            task.status = TaskStatus.DECODE
+            self._decode_clean = False
             return True
 
         bias = None
@@ -1001,6 +1181,18 @@ class Scheduler:
 
         w = self._build_window(K)
         if w is None:
+            frozen = [
+                t
+                for t in self.slots
+                if t is not None and t.status == TaskStatus.DECODE
+            ]
+            if frozen:
+                # every decode slot is page-starved (possible only under
+                # optimistic admission): free something or the loop livelocks
+                if not self._evict_lru_session():
+                    self._preempt_one(
+                        newer_than=min(t.admit_seq for t in frozen)
+                    )
             return
         reuse = self._decode_clean
         can_spec = self._can_speculate(w)  # evaluated BEFORE clearing the flag

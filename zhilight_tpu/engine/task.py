@@ -89,6 +89,9 @@ class TaskStatus:
     QUEUED = "queued"
     PREFILL = "prefill"
     DECODE = "decode"
+    # KV pages reclaimed under pressure; waiting to swap back in / recompute
+    # (reference SwapBuf suspended state, batch_generator.cpp:329-358)
+    PREEMPTED = "preempted"
     FINISHED = "finished"
     CANCELLED = "cancelled"
     FAILED = "failed"
@@ -143,6 +146,16 @@ class SearchTask:
         self.cache_len: int = 0  # tokens already in KV cache
         self.prefix_hit_len: int = 0
         self.finish_reason: str = ""  # "stop" | "length" | "abort"
+        # preemption state: admission order (victim selection is newest-first),
+        # swapped-out host KV, and whether a PREFILL pass is a decode-resume
+        # recompute over prompt+generated tokens
+        self.admit_seq: int = -1
+        self.swap_state = None
+        self.resume_decode = False
+        # KV tokens reserved at admission (prompt + admission_reserve-scaled
+        # max_length); the scheduler counts reserved-minus-allocated as
+        # outstanding demand so admission at reserve=1.0 is truly worst-case
+        self.reserved_tokens: int = 0
 
     # -- multi-host wire format (reference SearchTask boost-serialization,
     # src/generator/batch_generator.h:71-95) ------------------------------

@@ -395,3 +395,20 @@ def test_pipeline_drains_after_boundary_finish(tiny_model):
         r3 = gen.generate(p3, GeneratorArg(max_length=5), timeout=60)
     assert r1.outputs[0].token_ids == e1
     assert r3.outputs[0].token_ids == e3
+
+
+def test_warmup_then_generate(tiny_model):
+    """Startup warmup (reference VERIFY_MAX_TOKEN self-test) compiles every
+    serving-shape program and leaves no state behind: generation afterwards
+    is bit-identical to an un-warmed engine."""
+    cfg, params = tiny_model
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (5, 13)]
+    expected = [naive_greedy(cfg, params, p, 8) for p in prompts]
+
+    llm = make_llm(tiny_model)
+    dt = llm.executor.warmup()
+    assert dt > 0
+    with DynamicBatchGenerator(llm) as gen:
+        results = gen.batch_generate(prompts, GeneratorArg(max_length=8))
+    assert [r.outputs[0].token_ids for r in results] == expected

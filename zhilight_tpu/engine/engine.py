@@ -612,6 +612,72 @@ class ModelExecutor:
         logits = fn(self.params, jnp.asarray(tok), meta, cache)
         return np.asarray(logits[:n])
 
+    def warmup(self) -> float:
+        """Startup self-test: compile and run every hot program at its serving
+        shape before the first request arrives (reference VERIFY_MAX_TOKEN
+        self-test, zhilight/dynamic_batch.py:415-422).
+
+        Covers every prefill-chunk bucket, the last-chunk prefill+sample
+        program on the largest bucket, and the decode-window programs (both
+        greedy and sampled variants, K=window and the K=1 tail). Doubles as a
+        max-shape memory check: an OOM surfaces here, at startup, not minutes
+        into serving. KV-pool contents are scratch before the first admission
+        and the sampler state is reset per-slot at each admission, so the
+        dummy passes leave no visible state behind. Returns elapsed seconds.
+        """
+        t0 = time.monotonic()
+        S = self.page_size
+        B = self.max_batch
+        for bucket in self.sched_cfg.prefill_buckets:
+            maxp = min(
+                _round_up(bucket, S) // S, self.num_pages, self.max_pages_per_seq
+            )
+            pt = np.full(self.max_pages_per_seq, -1, np.int32)
+            pt[:maxp] = np.arange(maxp)
+            n = min(bucket, maxp * S)
+            slots = np.full(bucket, -1, np.int32)
+            slots[:n] = np.arange(n)
+            pos = np.zeros(bucket, np.int32)
+            pos[:n] = np.arange(n)
+            meta = PrefillMeta(
+                positions=jnp.asarray(pos),
+                slot_mapping=jnp.asarray(slots),
+                page_table=jnp.asarray(pt),
+                cache_len=jnp.int32(0),
+                q_len=jnp.int32(n),
+            )
+            self.run_chunk(np.zeros(bucket, np.int32), meta)
+            if bucket == self.sched_cfg.prefill_buckets[-1]:
+                sparams = SamplingParams(
+                    temperature=jnp.zeros(B, jnp.float32),
+                    top_p=jnp.ones(B, jnp.float32),
+                    top_k=jnp.zeros(B, jnp.int32),
+                    repetition_penalty=jnp.ones(B, jnp.float32),
+                    presence_penalty=jnp.zeros(B, jnp.float32),
+                    frequency_penalty=jnp.zeros(B, jnp.float32),
+                    seed=jnp.arange(B, dtype=jnp.int32),
+                )
+                self.run_prefill(np.zeros(bucket, np.int32), meta, sparams, 0, 0)
+                # full-batch decode windows: every slot "active" over one page
+                ctx = np.ones(B, np.int32)
+                ptb = np.full((B, self.max_pages_per_seq), -1, np.int32)
+                ptb[:, 0] = np.arange(B) % max(self.num_pages, 1)
+                for k in {1, self.decode_window}:
+                    for greedy in (True, False):
+                        self.run_decode_multi(
+                            tokens=np.zeros(B, np.int32),
+                            page_tables=ptb,
+                            positions=ctx.copy(),
+                            context_lens=ctx + 1,
+                            limits=np.full(B, 2, np.int32),
+                            sparams=sparams,
+                            num_steps=k,
+                            greedy_only=greedy,
+                        )
+        self._decode_carry = None
+        jax.block_until_ready(jax.tree.leaves(self.cache)[0])
+        return time.monotonic() - t0
+
     # ------------------------------------------------------------------
     # public API used by the scheduler (all take/return numpy at the edges)
     # ------------------------------------------------------------------

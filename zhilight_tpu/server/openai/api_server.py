@@ -310,6 +310,11 @@ def parse_args(argv=None):
     p.add_argument("--enable-reasoning", action="store_true")
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    p.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="skip the startup compile/self-test pass (reference VERIFY_MAX_TOKEN)",
+    )
     p.add_argument("--nnodes", type=int, default=1)
     p.add_argument("--node-rank", type=int, default=0)
     p.add_argument("--dist-init-addr", default=None)
@@ -356,6 +361,15 @@ def main(argv=None):
     from ...llm import LLM
 
     llm = LLM(model_path=args.model_path, engine_config=make_engine_config(args))
+    if not args.no_warmup:
+        # compile every serving-shape program + max-shape memory self-test
+        # before accepting traffic (reference VERIFY_MAX_TOKEN,
+        # zhilight/dynamic_batch.py:415-422). On multi-host meshes every rank
+        # reaches this point before its scheduler loop starts, so the warmup
+        # programs execute in lockstep too.
+        logger.info("warmup: compiling serving-shape programs...")
+        dt = llm.executor.warmup()
+        logger.info("warmup done in %.1fs", dt)
     gen = DynamicBatchGenerator(llm).start()
     engine = AsyncEngine(llm, gen)
     served = args.served_model_name or os.path.basename(args.model_path.rstrip("/"))

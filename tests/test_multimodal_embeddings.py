@@ -99,3 +99,33 @@ def test_custom_position_ids(setup):
             position_ids=np.arange(len(prompt), dtype=np.int32),
         ).outputs[0].token_ids
     assert same == base
+
+
+def test_strip_language_replaces_torch_lm(setup):
+    """ADVICE r1 (low): the VL2 wrapper must not keep the torch language
+    weights in host RAM — after stripping, the language module is a shim that
+    serves embeddings from the TPU-resident table (reference nulls
+    `vl_gpt.language`, deepseek_vl_v2.py:90)."""
+    torch = pytest.importorskip("torch")
+    from zhilight_tpu.models.multimodal import DeepseekVL2
+
+    cfg, params, llm = setup
+
+    class FakeVL(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.vision = torch.nn.Linear(8, 8)
+            self.language = torch.nn.Sequential(
+                torch.nn.Embedding(VOCAB, 512), torch.nn.Linear(512, 512)
+            )
+
+    vl = DeepseekVL2(llm, model_path="/nonexistent")
+    fake = FakeVL()
+    n_before = sum(p.numel() for p in fake.parameters())
+    vl._strip_language(fake)
+    n_after = sum(p.numel() for p in fake.parameters())
+    assert n_after < n_before // 10  # language weights actually gone
+    ids = torch.tensor([[2, 3, 5]])
+    out = fake.language.get_input_embeddings()(ids)
+    expect = np.asarray(params["embedding"]["w"], np.float32)[[2, 3, 5]]
+    np.testing.assert_allclose(out.numpy()[0], expect, rtol=1e-6)

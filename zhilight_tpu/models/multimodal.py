@@ -52,16 +52,57 @@ class DeepseekVL2:
             self._processor = AutoProcessor.from_pretrained(
                 self.model_path, trust_remote_code=True
             )
-            # vision tower + projector only; language weights already on TPU
             self._vision = AutoModelForCausalLM.from_pretrained(
                 self.model_path, trust_remote_code=True
             )
+            # Drop the torch language model: only the vision tower + projector
+            # run host-side; text-token embeddings come from the TPU-resident
+            # table via a shim (reference nulls `vl_gpt.language` and rebinds
+            # it to a ModelAdapter over its own engine,
+            # zhilight/models/deepseek_vl_v2.py:90,117-118).
+            self._strip_language(self._vision)
         except Exception as e:  # pragma: no cover - needs model assets
             raise RuntimeError(
                 f"DeepseekVL2 vision tower unavailable: {e}. The vision encoder "
                 "runs in torch on host (same as the reference); install the "
                 "model's remote code and weights."
             ) from e
+
+    def _strip_language(self, model):
+        """Replace the loaded torch language model with a TPU-backed embedding
+        shim and free its weights (they are duplicated on the accelerator)."""
+        import gc
+
+        import torch
+
+        llm = self.llm
+
+        class _TPUEmbedding(torch.nn.Module):
+            """Token-id -> embedding lookup served from the engine's
+            (sharded, device-resident) embedding table."""
+
+            def forward(self, input_ids: "torch.Tensor") -> "torch.Tensor":
+                import numpy as _np
+
+                ids = input_ids.detach().cpu().numpy().astype(_np.int32)
+                w = llm.executor.params["embedding"]["w"]
+                emb = _np.asarray(w[ids.reshape(-1)], dtype=_np.float32)
+                emb = emb.reshape(*ids.shape, emb.shape[-1])
+                return torch.from_numpy(emb)
+
+        class _LanguageShim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.embed = _TPUEmbedding()
+
+            def get_input_embeddings(self):
+                return self.embed
+
+        for name in ("language", "language_model"):
+            if hasattr(model, name) and getattr(model, name) is not None:
+                setattr(model, name, _LanguageShim())
+                break
+        gc.collect()
 
     def compute_embeddings(self, conversation: List[dict], images: List[Any]):
         """Returns (input_ids, input_embeddings [T, dim], position_ids)."""

@@ -176,3 +176,45 @@ def test_beam_with_concurrent_greedy(tiny_model):
 
     assert results["beam"].outputs[0].token_ids == expected_beam[0][2]
     assert len(results["greedy"].outputs[0].token_ids) > 0
+
+
+def test_beam_no_head_of_line_blocking(tiny_model):
+    """A beam task that cannot get beam_size slots must NOT stall at the
+    queue head: its primary prefills immediately in the one free slot (slot
+    debt defers the hypothesis claim until running tasks finish), and the
+    final beams still match the unpressured reference."""
+    cfg, params = tiny_model
+    rng = np.random.RandomState(6)
+    p_long = list(rng.randint(2, VOCAB, size=6))
+    p_beam = list(rng.randint(2, VOCAB, size=7))
+
+    arg_b = GeneratorArg(beam_size=2, max_length=6)
+    expected_beam = naive_beam(cfg, params, p_beam, arg_b)
+
+    # 2 slots: one long-running greedy task occupies one; the beam task needs
+    # both. Old behavior: beam waits at the head for 2 simultaneous free
+    # slots (= the greedy task must fully finish before the beam prefills).
+    llm = make_llm(tiny_model, max_batch=2)
+    with DynamicBatchGenerator(llm) as gen:
+        import threading
+
+        results = {}
+
+        def run(name, p, a):
+            results[name] = gen.generate(p, a)
+
+        t1 = threading.Thread(
+            target=run, args=("long", p_long, GeneratorArg(max_length=40))
+        )
+        t1.start()
+        import time as _t
+
+        _t.sleep(0.3)  # let the long task occupy its slot
+        t2 = threading.Thread(target=run, args=("beam", p_beam, arg_b))
+        t2.start()
+        t1.join(); t2.join()
+        n_parks = gen.scheduler.num_beam_parks
+
+    assert results["beam"].outputs[0].token_ids == expected_beam[0][2]
+    assert len(results["long"].outputs[0].token_ids) == 40
+    assert n_parks >= 1, "beam task never took the early-prefill park path"

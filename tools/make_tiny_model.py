@@ -9,10 +9,8 @@ import os
 import sys
 
 
-def make(path: str, model_type: str = "llama"):
-    os.makedirs(path, exist_ok=True)
-
-    # -- tokenizer: byte-level BPE built from scratch ----------------------
+def write_tokenizer(path: str) -> int:
+    """Byte-level BPE tokenizer built from scratch; returns vocab size."""
     from tokenizers import Tokenizer, models, pre_tokenizers, decoders, trainers
 
     tok = Tokenizer(models.BPE(unk_token=None))
@@ -36,8 +34,12 @@ def make(path: str, model_type: str = "llama"):
             },
             f,
         )
+    return tok.get_vocab_size()
 
-    vocab_size = tok.get_vocab_size()
+
+def make(path: str, model_type: str = "llama"):
+    os.makedirs(path, exist_ok=True)
+    vocab_size = write_tokenizer(path)
 
     # -- model --------------------------------------------------------------
     import torch

@@ -70,6 +70,14 @@ class Scheduler:
         self.preempted: List[SearchTask] = []
         self._admit_seq = 0
         self.num_preemptions = 0  # cumulative, for metrics/tests
+        # beam tasks prefilled but waiting for their hypothesis slots; the
+        # debt counter keeps later plain admissions from consuming the slots
+        # they are owed (fixes beam head-of-line blocking: the primary
+        # prefills immediately instead of stalling the whole queue until
+        # beam_size slots are simultaneously free)
+        self.beam_wait: List[SearchTask] = []
+        self._slot_debt = 0
+        self.num_beam_parks = 0  # cumulative, for metrics/tests
         self.step_index = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -360,15 +368,20 @@ class Scheduler:
         """Admit queued tasks under the free-KV budget; returns the tasks
         admitted this step, in order (broadcast to workers for replay)."""
         admitted: List[SearchTask] = []
-        # preempted tasks resume first, and block new admissions until they
-        # are all back (strict priority — otherwise fresh tasks could starve
-        # a preempted one indefinitely by consuming freed pages)
+        # waiting beam groups claim their owed hypothesis slots first (oldest
+        # admissions), then preempted tasks resume, then new admissions —
+        # both with strict priority (otherwise fresh tasks could starve them
+        # indefinitely by consuming freed slots/pages)
+        self._service_beam_wait()
         while self.preempted:
             if not self._try_resume():
                 return admitted
         while True:
             slot = self._free_slot()
             if slot < 0:
+                return admitted
+            if sum(t is None for t in self.slots) <= self._slot_debt:
+                # remaining free slots are owed to waiting beam groups
                 return admitted
             try:
                 task = self.queue.queue[0]  # peek
@@ -400,11 +413,15 @@ class Scheduler:
                     continue
                 return admitted  # wait for memory
             if beams > 1:
-                free = [i for i, t in enumerate(self.slots) if t is None]
-                if len(free) < beams:
-                    return admitted  # wait for slots
+                # the primary is admitted alone and starts prefilling NOW;
+                # the beams-1 hypothesis slots are owed (slot debt) and
+                # claimed after the prefill completes (_service_beam_wait) —
+                # the queue behind is never blocked waiting for beam_size
+                # simultaneously-free slots
                 self.queue.get_nowait()
-                self._assign_beam(task, free[:beams])
+                self._assign(task, slot)
+                task._beam_group = None
+                self._slot_debt += beams - 1
                 admitted.append(task)
                 continue
             self.queue.get_nowait()
@@ -484,13 +501,11 @@ class Scheduler:
         sp["seed"][slot] = a.seed or task.task_id
         self._sp_dirty = True
 
-    def _assign_beam(self, task: SearchTask, slots: List[int]):
-        """Admit a beam-search task: the primary occupies slots[0] and
-        prefills; the other hypothesis slots are reserved now so admission
-        accounting stays consistent, and join after the first token
-        (reference beam flow: hypotheses share the prefilled context)."""
-        self._assign(task, slots[0])
-        task._beam_group = None  # set after prefill
+    def _materialize_beam_group(self, task: SearchTask, extra_slots: List[int]):
+        """Claim the hypothesis slots for a prefilled beam task and build its
+        group (reference beam flow: hypotheses share the prefilled context).
+        Called once the owed beams-1 slots are actually free."""
+        slots = [task.slot] + list(extra_slots)
         hypo_tasks = [task]
         for s in slots[1:]:
             h = SearchTask(task.input_tokens, task.arg)
@@ -510,6 +525,30 @@ class Scheduler:
         for h in hypo_tasks:
             h._beam_group = group
         self.beam_groups[task.task_id] = group
+
+    def _service_beam_wait(self):
+        """Start waiting beam groups whose owed hypothesis slots are now free
+        (FIFO). Their first-token candidates were computed at prefill time
+        and are applied on claim."""
+        while self.beam_wait:
+            task = self.beam_wait[0]
+            beams = max(task.arg.beam_size, 1)
+            if self._cancelled(task):
+                self.beam_wait.pop(0)
+                self._slot_debt -= beams - 1
+                task.status = TaskStatus.CANCELLED
+                self._release(task)
+                task.finish()
+                continue
+            free = [i for i, t in enumerate(self.slots) if t is None]
+            if len(free) < beams - 1:
+                return
+            self.beam_wait.pop(0)
+            self._slot_debt -= beams - 1
+            self._materialize_beam_group(task, free[: beams - 1])
+            toplp, toptok = task._beam_seed
+            task._beam_seed = None
+            self._init_beam_group(task, toplp, toptok)
 
     # ------------------------------------------------------------------
     # preemption / restore (reference SwapBuf, batch_generator.cpp:329-358)
@@ -859,7 +898,19 @@ class Scheduler:
         # device carry whose row for this slot is stale (token 0, ctx 0)
         self._decode_clean = False
         if beams > 1:
-            self._init_beam_group(task, toplp, toptok)
+            free = [i for i, t in enumerate(self.slots) if t is None]
+            if len(free) >= beams - 1:
+                self._slot_debt -= beams - 1
+                self._materialize_beam_group(task, free[: beams - 1])
+                self._init_beam_group(task, toplp, toptok)
+            else:
+                # hypothesis slots not free yet: park with the first-token
+                # candidates; _service_beam_wait claims the owed slots as
+                # other tasks finish (only this task waits, not the queue)
+                task._beam_seed = (toplp, toptok)
+                task.status = TaskStatus.PREFILL
+                self.beam_wait.append(task)
+                self.num_beam_parks += 1
         else:
             self._append_token(task, tok, lp, toplp, toptok)
         return True

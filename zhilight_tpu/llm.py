@@ -80,7 +80,9 @@ class LLM:
 
         if params is None:
             assert model_path, "need params or model_path"
-            params = load_hf_state(model_path, self.model_config)
+            params = load_hf_state(
+                model_path, self.model_config, quant=self.quant_config
+            )
         # default EOS set: tokenizer eos + generation_config.json lists
         # (e.g. Llama-3 ships eos_token_id=[eos, eot_id]; reference users had
         # to pass stop_token_ids manually — here any member stops generation)

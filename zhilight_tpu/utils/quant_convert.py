@@ -38,6 +38,22 @@ __all__ = [
 AWQ_ORDER = (0, 2, 4, 6, 1, 3, 5, 7)
 
 
+def _unpack_rows_le(q: np.ndarray) -> np.ndarray:
+    """int32 [R, N] -> int8 [R*8, N]: little-endian 4-bit fields along rows.
+
+    Uses torch bitwise kernels: numpy 2.0's broadcast shift/mask runs ~1 M
+    elem/s on this host (>100 s per 14B linear); torch does the same op in
+    <1 s single-core."""
+    import torch
+
+    R, N = q.shape
+    tq = torch.from_numpy(np.ascontiguousarray(q))
+    out = torch.empty((R, 8, N), dtype=torch.int8)
+    for j in range(8):
+        out[:, j, :] = (tq >> (4 * j)) & 0xF
+    return out.reshape(R * 8, N).numpy()
+
+
 # ---------------------------------------------------------------------------
 # GPTQ
 # ---------------------------------------------------------------------------
@@ -53,9 +69,7 @@ def unpack_gptq(
     K = Kp * 8
     G = scales.shape[0]
 
-    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, :, None]
-    w = ((qweight.astype(np.uint32)[:, None, :] >> shifts) & 0xF).reshape(K, N)
-    w_p = w.astype(np.int8)
+    w_p = _unpack_rows_le(qweight)
 
     zshifts = (np.arange(8, dtype=np.uint32) * 4)[None, None, :]
     z = ((qzeros.astype(np.uint32)[:, :, None] >> zshifts) & 0xF).reshape(G, -1)
@@ -76,6 +90,26 @@ def unpack_gptq(
             out["w_p"] = np.ascontiguousarray(w_p[perm])
             out["perm"] = perm.astype(np.int32)
     return out
+
+
+def gptq_planar_qweight(qweight: np.ndarray) -> np.ndarray:
+    """GPTQ qweight int32 [K/8, N] -> planar-packed uint8 [K/2, N] directly.
+
+    Same output as ``ops.quant.pack_int4(unpack_gptq(...)["w_p"])`` (low
+    nibbles = rows [0, K/2), high = rows [K/2, K)) but without materializing
+    the int8 [K, N] intermediate — the checkpoint's 4 bits/weight go straight
+    to the kernel's HBM layout, halving host work and device upload. Only
+    valid when no act_order row permutation is needed."""
+    import torch
+
+    Kp, N = qweight.shape  # Kp = K/8
+    half = Kp // 2
+    qlo = torch.from_numpy(np.ascontiguousarray(qweight[:half]))
+    qhi = torch.from_numpy(np.ascontiguousarray(qweight[half:]))
+    out = torch.empty((half, 8, N), dtype=torch.uint8)
+    for j in range(8):
+        out[:, j, :] = ((qlo >> (4 * j)) & 0xF) | ((qhi >> (4 * j)) << 4 & 0xF0)
+    return out.reshape(half * 8, N).numpy()
 
 
 def pack_gptq(
@@ -108,13 +142,14 @@ def unpack_awq(
     N = Np * 8
 
     def unpack_cols(a):
+        import torch
+
         rows = a.shape[0]
-        shifts = (np.arange(8, dtype=np.uint32) * 4)[None, None, :]
-        nib = (a.astype(np.uint32)[:, :, None] >> shifts) & 0xF  # [rows, N/8, 8]
-        out = np.zeros((rows, Np, 8), np.uint8)
+        ta = torch.from_numpy(np.ascontiguousarray(a))
+        out = torch.empty((rows, Np, 8), dtype=torch.uint8)
         for j, col in enumerate(AWQ_ORDER):
-            out[:, :, col] = nib[:, :, j]
-        return out.reshape(rows, N)
+            out[:, :, col] = (ta >> (4 * j)) & 0xF
+        return out.reshape(rows, N).numpy()
 
     return {
         "w_p": unpack_cols(qweight).astype(np.int8),

@@ -48,7 +48,18 @@ def run_inprocess(args):
     import jax
 
     if args.model_path:
-        llm = LLM(model_path=args.model_path)
+        max_len = args.max_model_len or (args.input_len + args.output_len + 128)
+        ecfg = EngineConfig(
+            model_path=args.model_path,
+            max_model_len=max_len,
+            cache=CacheConfig(page_size=16, kv_dtype=args.kv_dtype),
+            scheduler=SchedulerConfig(
+                max_batch=args.batch,
+                chunk_size=args.chunk_size,
+                prefill_buckets=(128, args.chunk_size),
+            ),
+        )
+        llm = LLM(model_path=args.model_path, engine_config=ecfg)
         vocab = llm.model_config.vocab_size
     else:
         # MiniCPM-2B geometry (reference 1-GPU baseline row)
@@ -207,6 +218,9 @@ if __name__ == "__main__":
     ap.add_argument("--output-len", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--layers", type=int, default=40)
+    ap.add_argument("--max-model-len", type=int, default=0, help="0 = input+output+128")
+    ap.add_argument("--chunk-size", type=int, default=512)
+    ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
     args = ap.parse_args()
     if args.url:
         run_http(args)

@@ -303,6 +303,7 @@ def parse_args(argv=None):
     p.add_argument("--max-model-len", type=int, default=8192)
     p.add_argument("--tensor-parallel", "-tp", type=int, default=1)
     p.add_argument("--data-parallel", "-dp", type=int, default=1)
+    p.add_argument("--pipeline-parallel", "-pp", type=int, default=1)
     p.add_argument("--dyn-max-batch-size", type=int, default=32)
     p.add_argument("--max-total-token", type=int, default=32768)
     p.add_argument("--chunk-size", type=int, default=512)
@@ -344,6 +345,7 @@ def make_engine_config(args) -> EngineConfig:
         parallel=ParallelConfig(
             tp=args.tensor_parallel,
             dp=args.data_parallel,
+            pp=args.pipeline_parallel,
             num_hosts=args.nnodes,
             host_rank=args.node_rank,
             coordinator_address=args.dist_init_addr,

@@ -91,10 +91,9 @@ def run_inprocess(args):
     ]
     arg = GeneratorArg(max_length=args.output_len, temperature=1.0)
 
-    results = []
     lock = threading.Lock()
 
-    def one(prompt, t_submit):
+    def one(results, prompt):
         ttft = None
         n_tokens = 0
         t0 = time.perf_counter()
@@ -118,35 +117,37 @@ def run_inprocess(args):
         # warmup
         g.generate(prompts[0][: args.input_len], GeneratorArg(max_length=4))
 
-        threads = []
-        t_start = time.perf_counter()
-        intervals = rng.exponential(1.0 / args.qps, size=args.num_requests)
-        for i, p in enumerate(prompts):
-            th = threading.Thread(target=one, args=(p, time.perf_counter()))
-            th.start()
-            threads.append(th)
-            if i + 1 < args.num_requests:
-                time.sleep(float(intervals[i]))
-        for th in threads:
-            th.join()
-        wall = time.perf_counter() - t_start
+        for qps in args.qps:
+            results = []
+            threads = []
+            t_start = time.perf_counter()
+            intervals = rng.exponential(1.0 / qps, size=args.num_requests)
+            for i, p in enumerate(prompts):
+                th = threading.Thread(target=one, args=(results, p))
+                th.start()
+                threads.append(th)
+                if i + 1 < args.num_requests:
+                    time.sleep(float(intervals[i]))
+            for th in threads:
+                th.join()
+            wall = time.perf_counter() - t_start
 
-    ttfts = [r[0] for r in results]
-    tpots = [r[1] for r in results]
-    e2es = [r[2] for r in results]
-    toks = sum(r[3] for r in results)
-    print(json.dumps({
-        "requests": len(results),
-        "qps_offered": args.qps,
-        "qps_achieved": round(len(results) / wall, 3),
-        "output_tokens_per_s": round(toks / wall, 1),
-        "ttft_mean_ms": round(1e3 * float(np.mean(ttfts)), 2),
-        "ttft_p95_ms": round(1e3 * pct(ttfts, 95), 2),
-        "tpot_mean_ms": round(1e3 * float(np.mean(tpots)), 2),
-        "tpot_p95_ms": round(1e3 * pct(tpots, 95), 2),
-        "e2e_mean_ms": round(1e3 * float(np.mean(e2es)), 2),
-        "e2e_p95_ms": round(1e3 * pct(e2es, 95), 2),
-    }))
+            ttfts = [r[0] for r in results]
+            tpots = [r[1] for r in results]
+            e2es = [r[2] for r in results]
+            toks = sum(r[3] for r in results)
+            print(json.dumps({
+                "requests": len(results),
+                "qps_offered": qps,
+                "qps_achieved": round(len(results) / wall, 3),
+                "output_tokens_per_s": round(toks / wall, 1),
+                "ttft_mean_ms": round(1e3 * float(np.mean(ttfts)), 2),
+                "ttft_p95_ms": round(1e3 * pct(ttfts, 95), 2),
+                "tpot_mean_ms": round(1e3 * float(np.mean(tpots)), 2),
+                "tpot_p95_ms": round(1e3 * pct(tpots, 95), 2),
+                "e2e_mean_ms": round(1e3 * float(np.mean(e2es)), 2),
+                "e2e_p95_ms": round(1e3 * pct(e2es, 95), 2),
+            }), flush=True)
 
 
 def run_http(args):
@@ -181,29 +182,31 @@ def run_http(args):
 
     async def main():
         rng = np.random.RandomState(0)
-        results = []
-        async with aiohttp.ClientSession() as session:
-            tasks = []
-            t_start = time.perf_counter()
-            for i in range(args.num_requests):
-                text = " ".join(str(x) for x in rng.randint(0, 1000, size=args.input_len // 2))
-                tasks.append(asyncio.create_task(one(session, args.url, text, results)))
-                if i + 1 < args.num_requests:
-                    await asyncio.sleep(float(rng.exponential(1.0 / args.qps)))
-            await asyncio.gather(*tasks)
-            wall = time.perf_counter() - t_start
-        ttfts = [r[0] for r in results]
-        tpots = [r[1] for r in results]
-        e2es = [r[2] for r in results]
-        print(json.dumps({
-            "requests": len(results),
-            "qps_achieved": round(len(results) / wall, 3),
-            "ttft_mean_ms": round(1e3 * float(np.mean(ttfts)), 2),
-            "ttft_p95_ms": round(1e3 * pct(ttfts, 95), 2),
-            "tpot_mean_ms": round(1e3 * float(np.mean(tpots)), 2),
-            "tpot_p95_ms": round(1e3 * pct(tpots, 95), 2),
-            "e2e_mean_ms": round(1e3 * float(np.mean(e2es)), 2),
-        }))
+        for qps in args.qps:
+            results = []
+            async with aiohttp.ClientSession() as session:
+                tasks = []
+                t_start = time.perf_counter()
+                for i in range(args.num_requests):
+                    text = " ".join(str(x) for x in rng.randint(0, 1000, size=args.input_len // 2))
+                    tasks.append(asyncio.create_task(one(session, args.url, text, results)))
+                    if i + 1 < args.num_requests:
+                        await asyncio.sleep(float(rng.exponential(1.0 / qps)))
+                await asyncio.gather(*tasks)
+                wall = time.perf_counter() - t_start
+            ttfts = [r[0] for r in results]
+            tpots = [r[1] for r in results]
+            e2es = [r[2] for r in results]
+            print(json.dumps({
+                "requests": len(results),
+                "qps_offered": qps,
+                "qps_achieved": round(len(results) / wall, 3),
+                "ttft_mean_ms": round(1e3 * float(np.mean(ttfts)), 2),
+                "ttft_p95_ms": round(1e3 * pct(ttfts, 95), 2),
+                "tpot_mean_ms": round(1e3 * float(np.mean(tpots)), 2),
+                "tpot_p95_ms": round(1e3 * pct(tpots, 95), 2),
+                "e2e_mean_ms": round(1e3 * float(np.mean(e2es)), 2),
+            }), flush=True)
 
     asyncio.run(main())
 
@@ -212,7 +215,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--url", default="", help="OpenAI server base url; empty = in-process")
     ap.add_argument("--model-path", default="")
-    ap.add_argument("--qps", type=float, default=1.0)
+    ap.add_argument(
+        "--qps", type=lambda s: [float(x) for x in s.split(",")], default=[1.0],
+        help="comma-separated QPS steps; in-process mode runs them all in one "
+        "process (first step doubles as the compile-warm pass)",
+    )
     ap.add_argument("--num-requests", type=int, default=16)
     ap.add_argument("--input-len", type=int, default=512)
     ap.add_argument("--output-len", type=int, default=64)

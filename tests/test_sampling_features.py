@@ -174,3 +174,21 @@ def test_stop_string_checker():
 
     assert truncate_at_stop("foo STOP bar", ["STOP"]) == ("foo ", True)
     assert truncate_at_stop("foo bar", ["STOP"]) == ("foo bar", False)
+
+
+def test_record_prompt_longer_than_largest_bucket(llm):
+    """Prompts longer than the largest prefill bucket must still record their
+    token counts (regression: record_prompt crashed padding a 3.7k prompt
+    into the top bucket; penalties then see the full-prompt histogram)."""
+    ex = llm.executor
+    cap = ex.sched_cfg.prefill_buckets[-1]
+    rng = np.random.RandomState(0)
+    tokens = list(rng.randint(2, VOCAB, size=cap * 2 + 5))
+    ex.record_prompt(1, tokens)
+    counts = np.asarray(ex.sampler_state.token_counts[1])
+    want = np.bincount(tokens, minlength=VOCAB)
+    np.testing.assert_array_equal(counts, want)
+    # re-recording the same slot resets, not accumulates
+    ex.record_prompt(1, tokens[: cap // 2])
+    counts = np.asarray(ex.sampler_state.token_counts[1])
+    np.testing.assert_array_equal(counts, np.bincount(tokens[: cap // 2], minlength=VOCAB))

@@ -4,15 +4,18 @@ Decode-shaped (M=16) GEMMs at Qwen2-72B / Llama-70B layer sizes — weight
 streaming dominates, so packed int4 should approach 4x bf16.
 
 Per-call wall time through the axon tunnel is dominated by ~1 ms dispatch
-overhead, so each variant is measured as a CHAIN of n kernel calls over n
-distinct weight buffers inside ONE jit program; device time per call is the
-slope (T(n2) - T(n1)) / (n2 - n1), which cancels the constant overhead.
+overhead, and chained/looped multi-call programs compile pathologically
+through the remote helper, so each variant is a plain single-call jit
+measured by DEVICE self time from a jax.profiler trace over N calls.
 """
 
 import argparse
+import glob
+import json
 import os
+import re
+import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax-comp-cache")
@@ -25,41 +28,41 @@ import numpy as np
 from zhilight_tpu.ops.pallas.quant_matmul import w4a16_matmul
 from zhilight_tpu.ops.quant import pack_int4
 
+N_TRACE = 30
 
-def timeit(f, *args, n=20):
+
+def profile_ms(f, *args):
+    """Total device self time per call from a profiler trace of N_TRACE calls."""
     r = f(*args)
     jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        r = f(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n * 1000
+    trace_dir = "/tmp/jax-trace-w4"
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(N_TRACE):
+            r = f(*args)
+        jax.block_until_ready(r)
 
+    from xprof.convert import raw_to_tool_data as r2t
 
-def slope_ms(one_call, w_stack, n1=2, n2=8):
-    """Device ms/call: fori_loop over a stacked weight buffer (each iteration
-    reads a different slice, so the call cannot be hoisted), timed at two
-    loop lengths; the slope cancels constant dispatch/loop overhead. One
-    kernel instance per program keeps remote compiles cheap."""
-    import functools
-
-    S = w_stack.shape[0]
-
-    @functools.partial(jax.jit, static_argnums=2)
-    def f(x, ws, n):
-        def body(i, acc):
-            return acc + one_call(x, ws[i % S]).astype(jnp.float32)
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((x.shape[0], ws.shape[-1]), jnp.float32))
-
-    t1 = timeit(f, X, w_stack, n1)
-    t2 = timeit(f, X, w_stack, n2)
-    return (t2 - t1) / (n2 - n1)
+    files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    assert files, "no trace written"
+    data, _ = r2t.xspace_to_tool_data(files, "framework_op_stats", {})
+    obj = json.loads(bytes(data).decode())
+    table = obj[0] if isinstance(obj, list) else obj
+    cols = [c["id"] for c in table["cols"]]
+    rows = [dict(zip(cols, [c.get("v") for c in r["c"]])) for r in table["rows"]]
+    us = sum(
+        float(r["total_self_time"])
+        for r in rows
+        if r.get("host_or_device") == "Device"
+    )
+    return us / N_TRACE / 1000.0
 
 
 X = None
 
 
-def run(name, K, N, M=16, gs=128, n2=4, variants=("packed", "bf16", "nibble")):
+def run(name, K, N, M=16, gs=128, variants=("packed", "bf16", "nibble")):
     global X
     rng = np.random.RandomState(0)
     X = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
@@ -67,31 +70,42 @@ def run(name, K, N, M=16, gs=128, n2=4, variants=("packed", "bf16", "nibble")):
     zeros = jnp.asarray(np.full((K // gs, N), 8.0), jnp.float32)
     res = {}
 
-    S = 4  # distinct weight buffers cycled by the loop
     base = rng.randint(0, 16, size=(K, N)).astype(np.int8)
     if "packed" in variants:
-        packed_np = np.asarray(pack_int4(jnp.asarray(base)))
-        stack = jnp.asarray(np.stack([packed_np + np.uint8(i % 2) for i in range(S)]))
-        res["packed"] = slope_ms(lambda x, w: w4a16_matmul(x, w, scales, zeros), stack)
-        stack.delete()
+        w = jnp.asarray(pack_int4(jnp.asarray(base)))
+        res["packed"] = profile_ms(
+            jax.jit(lambda x, w: w4a16_matmul(x, w, scales, zeros)), X, w
+        )
+        w.delete()
 
     if "bf16" in variants:
-        stack = jnp.asarray(np.stack([rng.randn(K, N) * 0.01 for _ in range(S)]), jnp.bfloat16)
-        res["bf16"] = slope_ms(
-            lambda x, w: jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype),
-            stack,
+        w = jnp.asarray(rng.randn(K, N) * 0.01, jnp.bfloat16)
+        res["bf16"] = profile_ms(
+            jax.jit(
+                lambda x, w: jnp.dot(
+                    x, w, preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+            ),
+            X,
+            w,
         )
-        stack.delete()
+        w.delete()
 
     if "nibble" in variants:
-        stack = jnp.asarray(np.stack([base + np.int8(0) for _ in range(S)]))
-        res["nibble"] = slope_ms(lambda x, w: w4a16_matmul(x, w, scales, zeros), stack)
-        stack.delete()
+        w = jnp.asarray(base)
+        res["nibble"] = profile_ms(
+            jax.jit(lambda x, w: w4a16_matmul(x, w, scales, zeros)), X, w
+        )
+        w.delete()
 
     roof4 = K * N * 0.5 / 819e9 * 1000
     roof16 = K * N * 2 / 819e9 * 1000
     parts = "  ".join(f"{k} {v:7.3f} ms" for k, v in res.items())
-    ratio = f"  speedup {res['bf16'] / res['packed']:4.2f}x" if {"bf16", "packed"} <= res.keys() else ""
+    ratio = (
+        f"  speedup {res['bf16'] / res['packed']:4.2f}x"
+        if {"bf16", "packed"} <= res.keys()
+        else ""
+    )
     print(
         f"{name:26s} {parts}{ratio}  (rooflines 4b ~{roof4:.3f}, bf16 ~{roof16:.3f})",
         flush=True,

@@ -554,10 +554,10 @@ class ModelExecutor:
         self.cache = fn(self.cache, jnp.asarray(padded), data)
         self._decode_carry = None  # cache buffer replaced; force re-sync
 
-    def _record_fn(self, bucket: int):
+    def _record_fn(self, bucket: int, reset: bool = True):
         @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=self._state_fmt)
         def record(state, slot, tokens):
-            return record_tokens(state, slot, tokens)
+            return record_tokens(state, slot, tokens, reset=reset)
 
         return record
 
@@ -688,11 +688,21 @@ class ModelExecutor:
         return self.sched_cfg.prefill_buckets[-1]
 
     def record_prompt(self, slot: int, tokens: List[int]):
-        bucket = self.pick_bucket(len(tokens))
-        fn = self._get(("record", bucket), lambda: self._record_fn(bucket))
-        padded = np.full(bucket, -1, np.int32)
-        padded[: len(tokens)] = tokens
-        self.sampler_state = fn(self.sampler_state, jnp.int32(slot), jnp.asarray(padded))
+        # prompts longer than the largest bucket are recorded in bucket-sized
+        # pieces (first call resets the slot's counts, the rest accumulate)
+        cap = self.sched_cfg.prefill_buckets[-1]
+        for start in range(0, max(len(tokens), 1), cap):
+            piece = tokens[start : start + cap]
+            bucket = self.pick_bucket(len(piece))
+            reset = start == 0
+            fn = self._get(
+                ("record", bucket, reset), lambda: self._record_fn(bucket, reset)
+            )
+            padded = np.full(bucket, -1, np.int32)
+            padded[: len(piece)] = piece
+            self.sampler_state = fn(
+                self.sampler_state, jnp.int32(slot), jnp.asarray(padded)
+            )
 
     def _emb_arg(self, embeddings: Optional[np.ndarray], bucket: int):
         if embeddings is None:

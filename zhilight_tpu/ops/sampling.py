@@ -94,15 +94,22 @@ def new_sampler_state(batch: int, vocab: int) -> SamplerState:
     )
 
 
-def record_tokens(state: SamplerState, slot: jax.Array, tokens: jax.Array) -> SamplerState:
+def record_tokens(
+    state: SamplerState, slot: jax.Array, tokens: jax.Array, reset: bool = True
+) -> SamplerState:
     """Count prompt tokens of a (re)assigned slot: used by the scheduler when
-    admitting a task. ``tokens`` [T] padded with -1."""
-    counts = state.token_counts.at[slot].set(0)
+    admitting a task. ``tokens`` [T] padded with -1. Prompts longer than the
+    largest compiled bucket are recorded in several calls: the first resets
+    the slot's counts, later ones accumulate (``reset=False``)."""
+    counts = state.token_counts
+    if reset:
+        counts = counts.at[slot].set(0)
     onehot = jnp.zeros((state.token_counts.shape[1],), jnp.int32).at[tokens].add(
         jnp.where(tokens >= 0, 1, 0), mode="drop"
     )
-    counts = counts.at[slot].set(onehot)
-    return SamplerState(token_counts=counts, step=state.step.at[slot].set(0))
+    counts = counts.at[slot].add(onehot)
+    step = state.step.at[slot].set(0) if reset else state.step
+    return SamplerState(token_counts=counts, step=step)
 
 
 def apply_penalties(

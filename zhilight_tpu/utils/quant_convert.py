@@ -104,12 +104,22 @@ def gptq_planar_qweight(qweight: np.ndarray) -> np.ndarray:
 
     Kp, N = qweight.shape  # Kp = K/8
     half = Kp // 2
-    qlo = torch.from_numpy(np.ascontiguousarray(qweight[:half]))
-    qhi = torch.from_numpy(np.ascontiguousarray(qweight[half:]))
-    out = torch.empty((half, 8, N), dtype=torch.uint8)
-    for j in range(8):
-        out[:, j, :] = ((qlo >> (4 * j)) & 0xF) | ((qhi >> (4 * j)) << 4 & 0xF0)
-    return out.reshape(half * 8, N).numpy()
+
+    def nibbles(q):
+        # int32 [half, N] viewed as little-endian bytes [half, N, 4]: byte b
+        # of element (k, n) holds original rows 8k+2b (low) and 8k+2b+1 (high)
+        b = torch.from_numpy(np.ascontiguousarray(q).view(np.uint8)).reshape(
+            half, N, 4
+        )
+        return b & 0xF, b >> 4
+
+    even_lo, odd_lo = nibbles(qweight[:half])
+    even_hi, odd_hi = nibbles(qweight[half:])
+    res_even = even_lo | (even_hi << 4)  # planar rows 8k + {0, 2, 4, 6}
+    res_odd = odd_lo | (odd_hi << 4)  # planar rows 8k + {1, 3, 5, 7}
+    out = torch.stack([res_even, res_odd], dim=3)  # [half, N, 4, 2]
+    out = out.permute(0, 2, 3, 1).reshape(half * 8, N)
+    return out.contiguous().numpy()
 
 
 def pack_gptq(

@@ -485,35 +485,40 @@ def write_rows_2d_pair(
 
 
 def _rmw_decode_kernel_hm(slots_ref, rows, c_in, c_out, pbuf, sems, *, T, S):
-    """Per-token page RMW; rows [Hkv, T, X] in VMEM (head-major)."""
+    """Per-token block RMW; rows [Hkv, T, X] in VMEM (head-major).
+
+    ``S`` here is the RMW window: the smallest legal sublane-aligned block
+    (8 rows) rather than the full page when the page size allows — only the
+    block containing the row moves through VMEM, halving decode write
+    traffic vs page-sized RMW at page_size 16."""
     del c_in
 
-    def page_start(t):
+    def blk_start(t):
         return (slots_ref[t] // S) * S
 
     for t in range(T):
         @pl.when(slots_ref[t] >= 0)
         def _():
             pltpu.make_async_copy(
-                c_out.at[:, pl.ds(page_start(t), S)], pbuf.at[t], sems.at[t]
+                c_out.at[:, pl.ds(blk_start(t), S)], pbuf.at[t], sems.at[t]
             ).start()
     for t in range(T):
         @pl.when(slots_ref[t] >= 0)
         def _():
             pltpu.make_async_copy(
-                c_out.at[:, pl.ds(page_start(t), S)], pbuf.at[t], sems.at[t]
+                c_out.at[:, pl.ds(blk_start(t), S)], pbuf.at[t], sems.at[t]
             ).wait()
-            off = slots_ref[t] - page_start(t)
+            off = slots_ref[t] - blk_start(t)
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
             pbuf[t] = jnp.where(row_ids == off, rows[:, pl.ds(t, 1), :], pbuf[t])
             pltpu.make_async_copy(
-                pbuf.at[t], c_out.at[:, pl.ds(page_start(t), S)], sems.at[t]
+                pbuf.at[t], c_out.at[:, pl.ds(blk_start(t), S)], sems.at[t]
             ).start()
     for t in range(T):
         @pl.when(slots_ref[t] >= 0)
         def _():
             pltpu.make_async_copy(
-                pbuf.at[t], c_out.at[:, pl.ds(page_start(t), S)], sems.at[t]
+                pbuf.at[t], c_out.at[:, pl.ds(blk_start(t), S)], sems.at[t]
             ).wait()
 
 
@@ -613,13 +618,16 @@ def write_rows_hm(
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
-        kernel = functools.partial(_rmw_decode_kernel_hm, T=T, S=S)
+        # decode RMW moves the smallest legal sublane-aligned block (8 rows)
+        # around each written row, not the whole page
+        B = 8 if S % 8 == 0 else S
+        kernel = functools.partial(_rmw_decode_kernel_hm, T=T, S=B)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=HBM),
         ]
         scratch = [
-            pltpu.VMEM((T, H, S, X), pool.dtype),
+            pltpu.VMEM((T, H, B, X), pool.dtype),
             pltpu.SemaphoreType.DMA((T,)),
         ]
 

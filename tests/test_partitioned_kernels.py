@@ -150,3 +150,73 @@ def test_prefill_partitioned_matches():
     np.testing.assert_allclose(
         got[:q_len], np.asarray(want)[:q_len], rtol=1e-2, atol=1e-2
     )
+
+
+def test_window_partial_and_flush_partitioned():
+    """Decode-window side-buffer kernels under SPMD: partial attention and
+    the end-of-window flush run per-shard on local heads with no pool
+    all-gather, matching the unsharded interpret kernels."""
+    from zhilight_tpu.ops.pallas.attn_headmajor import paged_decode_attention_hm
+    from zhilight_tpu.ops.pallas.kv_write import flush_side_rows_hm
+    from zhilight_tpu.ops.pallas.partitioned import (
+        flush_side_rows_hm_sharded,
+        paged_decode_attention_hm_partial_sharded,
+    )
+
+    mesh = _mesh()
+    rng = np.random.RandomState(1)
+    B, Hq, Hkv, D, Pg, maxp, Kw = 4, 16, 8, 64, 16, 4, 6
+    q = rng.randn(B, Hq, D).astype(np.float32)
+    pool = rng.randn(Hkv, Pg * S, 2 * D).astype(np.float32)
+    side = rng.randn(B, Hkv, Kw, 2 * D).astype(np.float32)
+    pool_lens = rng.randint(1, maxp * S - Kw, size=B).astype(np.int32)
+    n_rows = rng.randint(0, Kw + 1, size=B).astype(np.int32)
+    page_tables = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp)
+    scale = 1.0 / np.sqrt(D)
+
+    want_part = np.asarray(
+        paged_decode_attention_hm(
+            jnp.asarray(q), jnp.asarray(pool), jnp.asarray(page_tables),
+            jnp.asarray(pool_lens), S, scale, 0, interpret=True,
+            emit_partial=True,
+        )
+    )
+    want_pool = np.asarray(
+        flush_side_rows_hm(
+            jnp.asarray(pool), jnp.asarray(side), jnp.asarray(pool_lens),
+            jnp.asarray(n_rows), jnp.asarray(page_tables), S, interpret=True,
+        )
+    )
+
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        hspec = NamedSharding(mesh, P("tp", None, None))
+        q_d = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P(None, "tp", None)))
+        pool_d = jax.device_put(jnp.asarray(pool), hspec)
+        side_d = jax.device_put(
+            jnp.asarray(side), NamedSharding(mesh, P(None, "tp", None, None))
+        )
+        rep = NamedSharding(mesh, P())
+        pt_d = jax.device_put(jnp.asarray(page_tables), rep)
+        pl_d = jax.device_put(jnp.asarray(pool_lens), rep)
+        nr_d = jax.device_put(jnp.asarray(n_rows), rep)
+
+        f1 = jax.jit(
+            lambda q, pool, pt, cl: paged_decode_attention_hm_partial_sharded(
+                q, pool, pt, cl, S, scale, interpret=True
+            )
+        )
+        hlo1 = f1.lower(q_d, pool_d, pt_d, pl_d).compile().as_text()
+        got_part = np.asarray(jax.device_get(f1(q_d, pool_d, pt_d, pl_d)))
+
+        f2 = jax.jit(
+            lambda pool, side, ep, nr, pt: flush_side_rows_hm_sharded(
+                pool, side, ep, nr, pt, S, interpret=True
+            )
+        )
+        hlo2 = f2.lower(pool_d, side_d, pl_d, nr_d, pt_d).compile().as_text()
+        got_pool = np.asarray(jax.device_get(f2(pool_d, side_d, pl_d, nr_d, pt_d)))
+
+    assert "all-gather" not in hlo1, "pool gathered around the partial kernel"
+    assert "all-gather" not in hlo2, "pool gathered around the flush kernel"
+    np.testing.assert_allclose(got_part, want_part, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_pool, want_pool, rtol=1e-5, atol=1e-5)

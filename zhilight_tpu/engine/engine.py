@@ -379,6 +379,33 @@ class ModelExecutor:
 
         return decode_step
 
+    def _use_side_window(self, num_steps: int) -> bool:
+        """Window-batched KV writes: the decode window accumulates each
+        layer's new rows in a side buffer and RMWs the pool once per window
+        (<=2 page RMWs per slot) instead of once per step. The per-step write
+        kernels are latency-bound on v5e (sequential DMA chains), so batching
+        them out of the loop is the main lever on the pallas roofline gap.
+        ZT_WINDOW_KV=0 reverts to per-step writes."""
+        import os
+
+        if os.environ.get("ZT_WINDOW_KV") == "0":
+            return False
+        if num_steps < 2 or num_steps > self.page_size:
+            return False
+        cache = self.cache
+        if not cache.packed or cache.quantized:
+            return False
+        if self.cfg.mla.enabled or (self.cfg.sliding_window or 0) > 0:
+            return False
+        if self.stacked or self.pp > 1:
+            return False
+        # pallas decode path only (the XLA fallback writes per step anyway);
+        # multi-device meshes route the partial + flush kernels through their
+        # custom_partitioning wrappers (ops/pallas/partitioned.py)
+        from ..models.llama import _pallas_interpret, _use_pallas_decode
+
+        return _use_pallas_decode(self.cfg, cache) or _pallas_interpret()
+
     def _decode_multi_fn(self, num_steps: int, num_logprobs: int, nb: int = 0, np_: int = 0,
                          greedy_only: bool = False):
         """K decode steps in one program via lax.scan: sampled tokens feed the
@@ -391,6 +418,7 @@ class ModelExecutor:
         host can chain windows without re-uploading state."""
         cfg, rope = self.cfg, self.rope
         S = self.page_size
+        use_side = self._use_side_window(num_steps)
 
         rep = self._rep
 
@@ -403,8 +431,23 @@ class ModelExecutor:
         )
         def decode_multi(params, tokens, cache, sampler_state, page_tables, positions, context_lens, limits, sparams, key,
                          bias_tok, bias_val, pen_tok, pen_val):
-            def body(carry, _):
-                tokens, cache, state, positions, context_lens = carry
+            # window-batched KV writes: per-layer side buffers accumulate the
+            # window's rows; the pool is RMW-written once per window by the
+            # flush after the scan (models/llama.py forward_decode_window)
+            if use_side:
+                B = tokens.shape[0]
+                entry_pos = positions
+                pool_lens = jnp.maximum(context_lens - 1, 0)
+                side_rows0 = llama_mod.new_side_rows(
+                    cfg, B, num_steps, cache.k[0].dtype
+                )
+                side_valid0 = jnp.zeros((B, num_steps), bool)
+
+            def body(carry, k):
+                if use_side:
+                    tokens, cache, state, positions, context_lens, side_rows, side_valid = carry
+                else:
+                    tokens, cache, state, positions, context_lens = carry
                 valid = (context_lens > 0) & (context_lens <= limits)
                 page = jnp.take_along_axis(
                     page_tables, (positions // S)[:, None], axis=1
@@ -417,7 +460,18 @@ class ModelExecutor:
                     context_lens=context_lens,
                 )
                 mod = self._fwd_mod()
-                logits, cache = mod.forward_decode(params, cfg, rope, tokens, meta, cache)
+                if use_side:
+                    side_valid = jnp.where(
+                        jnp.arange(num_steps)[None, :] == k,
+                        valid[:, None],
+                        side_valid,
+                    )
+                    logits, cache, side_rows = mod.forward_decode_window(
+                        params, cfg, rope, tokens, meta, cache,
+                        side_rows, side_valid, pool_lens, k,
+                    )
+                else:
+                    logits, cache = mod.forward_decode(params, cfg, rope, tokens, meta, cache)
                 tok, lp, toplp, toptok, state2 = sample_step(
                     logits.astype(jnp.float32), state, sparams, key,
                     logit_bias_tokens=bias_tok if nb else None,
@@ -436,17 +490,31 @@ class ModelExecutor:
                 tokens = jnp.where(valid, tok, tokens)
                 positions = jnp.where(valid, positions + 1, positions)
                 context_lens = jnp.where(valid, context_lens + 1, context_lens)
+                if use_side:
+                    return (
+                        (tokens, cache, state, positions, context_lens, side_rows, side_valid),
+                        (tok, lp, toplp, toptok),
+                    )
                 return (tokens, cache, state, positions, context_lens), (tok, lp, toplp, toptok)
 
             carry = (tokens, cache, sampler_state, positions, context_lens)
+            if use_side:
+                carry = carry + (side_rows0, side_valid0)
             # unroll=2 is load-bearing: with unroll=1 XLA fails to forward the
             # donated KV-pool buffers through the while-loop carry and copies
             # the whole cache every iteration (456 -> 20 ms/step measured on
             # v5e for a 10-layer model)
-            (tokens, cache, state, positions, context_lens), outs = jax.lax.scan(
-                body, carry, None, length=num_steps,
+            carry, outs = jax.lax.scan(
+                body, carry, jnp.arange(num_steps),
                 unroll=2 if num_steps % 2 == 0 else 1,
             )
+            if use_side:
+                tokens, cache, state, positions, context_lens, side_rows, side_valid = carry
+                cache = llama_mod.flush_window_rows(
+                    cfg, cache, side_rows, side_valid, entry_pos, page_tables
+                )
+            else:
+                tokens, cache, state, positions, context_lens = carry
             tok, lp, toplp, toptok = outs
             return tok, lp, toplp, toptok, cache, state, tokens, positions, context_lens
 

@@ -120,6 +120,84 @@ def _use_fused_write(cfg: ModelConfig, cache: KVCache) -> bool:
     )
 
 
+def _pallas_interpret() -> bool:
+    """ZT_PALLAS_INTERPRET=1 runs the Pallas kernels in interpret mode so the
+    TPU code path is testable on CPU."""
+    import os
+
+    return os.environ.get("ZT_PALLAS_INTERPRET") == "1"
+
+
+_SIDE_NEG = -1.0e38  # finite stand-in for the kernels' NEG_INF in XLA math
+
+
+def _side_window_attention(cfg, cache, layer_idx, q, k, v, meta, side, scale):
+    """Decode attention with the window side buffer (window-batched KV
+    writes): pool partials come from the Pallas kernel masked to the
+    window-entry context; the <= Kw window rows (including this step's, which
+    never touched the pool yet) are attended in XLA and merged exactly via
+    the flash combine. Saves num_steps-1 of every num_steps pool write
+    kernels per layer — the pool is written once per window by
+    flush_side_rows_hm."""
+    from ..ops.pallas.attn_headmajor import paged_decode_attention_hm
+
+    B, Hq, D = q.shape
+    Hkv = cfg.num_kv_heads
+    G = Hq // Hkv
+
+    rows = side["rows"]  # [B, Hkv, Kw, 2D]
+    upd = jnp.concatenate([k, v], axis=-1).astype(rows.dtype)[:, :, None, :]
+    rows = jax.lax.dynamic_update_slice(
+        rows, upd, (0, 0, side["step"], 0)
+    )
+
+    from ..parallel import kernel_partitioning_enabled
+
+    if kernel_partitioning_enabled():
+        from ..ops.pallas.partitioned import (
+            paged_decode_attention_hm_partial_sharded,
+        )
+
+        partial = paged_decode_attention_hm_partial_sharded(
+            q, cache.k[layer_idx], meta.page_tables, side["pool_lens"],
+            cache.page_size, scale, interpret=_pallas_interpret(),
+        )
+    else:
+        partial = paged_decode_attention_hm(
+            q,
+            cache.k[layer_idx],
+            meta.page_tables,
+            side["pool_lens"],
+            cache.page_size,
+            scale,
+            0,
+            interpret=_pallas_interpret(),
+            emit_partial=True,
+        )  # [B, Hkv, G, 2D] fp32: lane0 m, lane1 l, [D:] unnormalized acc
+    m_pool = jnp.maximum(partial[..., 0:1], _SIDE_NEG)
+    l_pool = partial[..., 1:2]
+    acc_pool = partial[..., D:]
+
+    ks = rows[..., :D].astype(jnp.float32)  # [B, Hkv, Kw, D]
+    vs = rows[..., D:].astype(jnp.float32)
+    qg = q.reshape(B, Hkv, G, D).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhkd->bhgk", qg, ks) * scale
+    # cols beyond this step are still zero-initialized and masked: valid is
+    # set per step, so no step comparison is needed
+    s = jnp.where(side["valid"][:, None, None, :], s, 2.0 * _SIDE_NEG)
+    m_side = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _SIDE_NEG)
+    p_side = jnp.exp(s - m_side)
+    l_side = jnp.sum(p_side, axis=-1, keepdims=True)
+    acc_side = jnp.einsum("bhgk,bhkd->bhgd", p_side, vs)
+
+    m_tot = jnp.maximum(m_pool, m_side)
+    a_pool = jnp.exp(m_pool - m_tot)
+    a_side = jnp.exp(m_side - m_tot)
+    l_tot = jnp.maximum(l_pool * a_pool + l_side * a_side, 1e-20)
+    out = (acc_pool * a_pool + acc_side * a_side) / l_tot
+    return out.astype(q.dtype).reshape(B, Hq * D), rows
+
+
 def attention_layer(
     p: Params,
     cfg: ModelConfig,
@@ -131,9 +209,15 @@ def attention_layer(
     meta,
     mode: str,
     rot=None,
+    side=None,
 ) -> Tuple[jax.Array, KVCache]:
     """Standard / GQA attention with paged cache (reference nn::Attention
-    dyn_rag_forward, src/nn/attention/attention.cpp:442-700)."""
+    dyn_rag_forward, src/nn/attention/attention.cpp:442-700).
+
+    ``side`` (decode windows only) defers the KV pool write: the current
+    token's rows accumulate in a per-layer side buffer, the Pallas kernel
+    emits flash partials over the pool, and the window rows merge in XLA —
+    see forward_decode_window. Returns (out, cache, new_side_rows) then."""
     n = x.shape[0]
     q, k, v = _qkv(p, cfg, x)
     q, k = _maybe_qk_norm(p, cfg, q, k)
@@ -144,6 +228,13 @@ def attention_layer(
     k = apply_rope_rot(k, cos_f, sin_f, rope.neox_style)
 
     scale = 1.0 / math.sqrt(cfg.dim_head)
+
+    if side is not None:
+        assert mode == "decode"
+        out, rows = _side_window_attention(
+            cfg, cache, layer_idx, q, k, v, meta, side, scale
+        )
+        return linear(p["o_proj"], out), cache, rows
 
     if (
         mode == "decode"
@@ -323,12 +414,17 @@ def decoder_layer(
     meta,
     mode: str,
     rot=None,  # shared full-width (cos, sin) computed once per forward
+    side=None,
 ) -> Tuple[jax.Array, KVCache]:
     """Pre-LN block (reference nn::EncoderLayer, src/nn/block/block.cpp):
     sequential residual by default, Cohere parallel variant (block.cpp:444-481),
-    MiniCPM depth-scaled residual (scale_depth/sqrt(L))."""
+    MiniCPM depth-scaled residual (scale_depth/sqrt(L)).
+
+    With ``side`` (decode windows) returns (x, cache, new_side_rows)."""
     if cfg.mla.enabled:
         from .mla import mla_attention_layer as attn_fn
+
+        assert side is None, "side windows are standard/GQA-attention only"
     else:
         attn_fn = attention_layer
 
@@ -336,23 +432,31 @@ def decoder_layer(
         cfg.scale_depth / math.sqrt(cfg.num_layers) if cfg.scale_depth != 1.0 else 1.0
     )
 
-    if cfg.parallel_residual:
-        h = _norm(p["ln_attn"], cfg, x)
-        attn_out, cache = attn_fn(
+    def attn(h):
+        if side is not None:
+            return attn_fn(
+                p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode,
+                rot=rot, side=side,
+            )
+        out, c = attn_fn(
             p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode, rot=rot
         )
+        return out, c, None
+
+    if cfg.parallel_residual:
+        h = _norm(p["ln_attn"], cfg, x)
+        attn_out, cache, rows = attn(h)
         ff_out = mlp_layer(p["mlp"], cfg, h, layer_idx)
-        return x + attn_out + ff_out, cache
+        x = x + attn_out + ff_out
+        return (x, cache, rows) if side is not None else (x, cache)
 
     h = _norm(p["ln_attn"], cfg, x)
-    attn_out, cache = attn_fn(
-        p["attn"], cfg, rope, h, positions, cache, layer_idx, meta, mode, rot=rot
-    )
+    attn_out, cache, rows = attn(h)
     x = x + attn_out * res_scale
     h = _norm(p["ln_ff"], cfg, x)
     ff_out = mlp_layer(p["mlp"], cfg, h, layer_idx)
     x = x + ff_out * res_scale
-    return x, cache
+    return (x, cache, rows) if side is not None else (x, cache)
 
 
 # ---------------------------------------------------------------------------
@@ -453,6 +557,78 @@ def forward_decode(
         params, cfg, rope, tokens, meta.positions, cache, meta, "decode"
     )
     return get_logits(params, cfg, hidden), cache
+
+
+def new_side_rows(cfg: ModelConfig, batch: int, window: int, dtype):
+    """Zeroed per-layer window side buffers [B, Hkv, Kw, 2*dim_head]."""
+    return tuple(
+        jnp.zeros((batch, cfg.num_kv_heads, window, 2 * cfg.dim_head), dtype)
+        for _ in range(cfg.num_layers)
+    )
+
+
+def forward_decode_window(
+    params: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    tokens: jax.Array,       # [B]
+    meta: DecodeMeta,
+    cache: KVCache,
+    side_rows,               # tuple of [B, Hkv, Kw, 2D] per layer
+    side_valid: jax.Array,   # [B, Kw] bool; col j set iff slot was active at step j
+    pool_lens: jax.Array,    # [B] window-entry pool length (rows already flushed)
+    step: jax.Array,         # scalar int32 step index in the window
+) -> Tuple[jax.Array, KVCache, tuple]:
+    """One decode step with window-batched KV writes: each layer appends the
+    step's K/V to its side buffer instead of RMW-writing the pool, and
+    attention merges pool partials (Pallas) with the side rows (XLA).
+    flush_window_rows writes the pool once at the end of the window."""
+    x = embed(params, cfg, tokens)
+    rot = rope.rot_values(meta.positions)
+    new_rows = []
+    for i in range(cfg.num_layers):
+        sd = {
+            "rows": side_rows[i],
+            "valid": side_valid,
+            "pool_lens": pool_lens,
+            "step": step,
+        }
+        x, cache, r = decoder_layer(
+            params["layers"][str(i)], cfg, rope, x, meta.positions, cache, i,
+            meta, "decode", rot=rot, side=sd,
+        )
+        new_rows.append(r)
+    hidden = _norm(params["final_norm"], cfg, x)
+    return get_logits(params, cfg, hidden), cache, tuple(new_rows)
+
+
+def flush_window_rows(
+    cfg: ModelConfig,
+    cache: KVCache,
+    side_rows,              # tuple of [B, Hkv, Kw, 2D]
+    side_valid: jax.Array,  # [B, Kw]
+    entry_pos: jax.Array,   # [B] position of each slot's first window row
+    page_tables: jax.Array,
+) -> KVCache:
+    """End-of-window side-buffer flush into the paged pool (<=2 page RMWs per
+    slot per layer instead of one per step)."""
+    from ..parallel import kernel_partitioning_enabled
+
+    if kernel_partitioning_enabled():
+        from ..ops.pallas.partitioned import (
+            flush_side_rows_hm_sharded as flush_side_rows_hm,
+        )
+    else:
+        from ..ops.pallas.kv_write import flush_side_rows_hm
+
+    n_rows = jnp.sum(side_valid.astype(jnp.int32), axis=1)
+    for i in range(cfg.num_layers):
+        pool = flush_side_rows_hm(
+            cache.k[i], side_rows[i], entry_pos, n_rows, page_tables,
+            cache.page_size, interpret=_pallas_interpret(),
+        )
+        cache = cache.set_layer(i, k=pool)
+    return cache
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,7 @@ def _kernel_hm(
     scale: float,
     sliding_window: int,
     packed_dim: int,   # D (V half starts here)
+    emit_partial: bool = False,
 ):
     q_ref = refs[0]                       # [1, Hkv, G, 2D] (q zero-padded)
     kv_refs = refs[1 : 1 + fetch_pages]   # each [Hkv, S, 2D]
@@ -102,10 +103,23 @@ def _kernel_hm(
 
     @pl.when(i == num_blocks - 1)
     def _finish():
-        l = jnp.maximum(l_ref[...], 1e-20)
-        # emit only the V lanes — slicing here (VMEM, free) instead of in
-        # XLA saved ~40 async device slices per decode step
-        o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
+        if emit_partial:
+            # flash-partial output for XLA-side merging with out-of-pool rows
+            # (decode-window side buffer): V-half lanes carry the UNNORMALIZED
+            # accumulator; the otherwise-unused K-half lanes carry the running
+            # max (lane 0) and normalizer (lane 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 2)
+            out = jnp.where(
+                lane == 0,
+                m_ref[...],
+                jnp.where(lane == 1, l_ref[...], acc_ref[...]),
+            )
+            o_ref[0] = out.astype(o_ref.dtype)
+        else:
+            l = jnp.maximum(l_ref[...], 1e-20)
+            # emit only the V lanes — slicing here (VMEM, free) instead of in
+            # XLA saved ~40 async device slices per decode step
+            o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
 
 
 def paged_decode_attention_hm(
@@ -118,7 +132,12 @@ def paged_decode_attention_hm(
     sliding_window: int = 0,
     fetch_pages: int = 8,
     interpret: bool = False,
+    emit_partial: bool = False,
 ) -> jax.Array:
+    """Normalized attention output [B, Hq, D], or with ``emit_partial`` the
+    flash partials [B, Hkv, G, 2D] fp32 (lane 0 = running max, lane 1 =
+    normalizer, lanes [D:] = unnormalized V accumulator) for exact XLA-side
+    merging with rows not yet in the pool (decode-window side buffer)."""
     B, Hq, D = q.shape
     Hkv, N, D2 = kv_pool.shape
     S = page_size
@@ -149,11 +168,12 @@ def paged_decode_attention_hm(
         return kv_index
 
     kv_specs = [pl.BlockSpec((Hkv, S, D2), kv_index_at(j)) for j in range(FPB)]
+    out_dim = D2 if emit_partial else D
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, num_blocks),
         in_specs=[pl.BlockSpec((1, Hkv, G, D2), q_index)] + kv_specs,
-        out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
+        out_specs=pl.BlockSpec((1, Hkv, G, out_dim), q_index),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
@@ -168,16 +188,21 @@ def paged_decode_attention_hm(
         scale=scale,
         sliding_window=sliding_window,
         packed_dim=D,
+        emit_partial=emit_partial,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Hkv, G, out_dim), jnp.float32 if emit_partial else q.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(safe_tables, context_lens, q_g, *([kv_pool] * FPB))
+    if emit_partial:
+        return out
     return out.reshape(B, Hq, D)
 
 

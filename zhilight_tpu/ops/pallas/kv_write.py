@@ -26,7 +26,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["paged_write_rows", "write_rows_2d", "write_rows_2d_pair", "write_rows_hm"]
+__all__ = [
+    "paged_write_rows",
+    "write_rows_2d",
+    "write_rows_2d_pair",
+    "write_rows_hm",
+    "flush_side_rows_hm",
+]
 
 
 def _decode_kernel(slots_ref, rows_k, rows_v, k_in, v_in, k_out, v_out, sems, *, T):
@@ -646,3 +652,157 @@ def write_rows_hm(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(slot_mapping, rows_hm, pool)
+
+
+# ---------------------------------------------------------------------------
+# Decode-window side-buffer flush (window-batched KV writes)
+# ---------------------------------------------------------------------------
+
+def _flush_side_kernel_hm(
+    starts1_ref,  # [B] pool row of a slot's first window row; <0 => skip
+    lens1_ref,    # [B] rows in the first page run
+    starts2_ref,  # [B] pool row of the second page run (page-aligned)
+    lens2_ref,    # [B] rows in the second run (0 if the run fits one page)
+    side,         # [B, Hkv, Kw, X] VMEM: per-slot window rows
+    c_in,
+    c_out,        # [Hkv, N, X] pool (aliased)
+    pbuf,         # [B, 2, Hkv, S, X] VMEM page staging
+    sems,         # DMA sems [B, 2]
+    *,
+    B: int,
+    S: int,
+    Kw: int,
+):
+    """Write each slot's up-to-Kw contiguous window rows into its <=2 pool
+    pages with one page RMW per run: all page reads start first, each page
+    then merges its rows via a [S, Kw] selection-matrix dot (the
+    Mosaic-friendly dynamic row shift) and writes back. Pages of different
+    slots never alias (each page belongs to one sequence), so the RMWs are
+    race-free."""
+    del c_in
+
+    def page_of(start):
+        return (start // S) * S
+
+    for b in range(B):
+        @pl.when(lens1_ref[b] > 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[:, pl.ds(page_of(starts1_ref[b]), S)],
+                pbuf.at[b, 0],
+                sems.at[b, 0],
+            ).start()
+        @pl.when(lens2_ref[b] > 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[:, pl.ds(page_of(starts2_ref[b]), S)],
+                pbuf.at[b, 1],
+                sems.at[b, 1],
+            ).start()
+
+    for b in range(B):
+        rows_b = side[b]  # [Hkv, Kw, X]
+
+        def merge_run(r, start, j0, length):
+            pltpu.make_async_copy(
+                c_out.at[:, pl.ds(page_of(start), S)], pbuf.at[b, r], sems.at[b, r]
+            ).wait()
+            off = start - page_of(start)
+            # sel[s, j] = 1 where pool row s receives side column j
+            s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S, Kw), 1)
+            j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S, Kw), 2)
+            hit = (s_iota - off == j_iota - j0) & (j_iota >= j0) & (
+                j_iota < j0 + length
+            )
+            sel = jnp.broadcast_to(
+                jnp.where(hit, 1.0, 0.0).astype(rows_b.dtype),
+                (rows_b.shape[0], S, Kw),
+            )
+            upd = jax.lax.dot_general(
+                sel, rows_b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [Hkv, S, X]
+            row_hit = (s_iota[..., :1] >= off) & (s_iota[..., :1] < off + length)
+            pbuf[b, r] = jnp.where(row_hit, upd.astype(pbuf.dtype), pbuf[b, r])
+            pltpu.make_async_copy(
+                pbuf.at[b, r], c_out.at[:, pl.ds(page_of(start), S)], sems.at[b, r]
+            ).start()
+
+        @pl.when(lens1_ref[b] > 0)
+        def _():
+            merge_run(0, starts1_ref[b], 0, lens1_ref[b])
+
+        @pl.when(lens2_ref[b] > 0)
+        def _():
+            merge_run(1, starts2_ref[b], lens1_ref[b], lens2_ref[b])
+
+    for b in range(B):
+        @pl.when(lens1_ref[b] > 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[:, pl.ds(page_of(starts1_ref[b]), S)],
+                pbuf.at[b, 0],
+                sems.at[b, 0],
+            ).wait()
+        @pl.when(lens2_ref[b] > 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[:, pl.ds(page_of(starts2_ref[b]), S)],
+                pbuf.at[b, 1],
+                sems.at[b, 1],
+            ).wait()
+
+
+def flush_side_rows_hm(
+    pool: jax.Array,       # [Hkv, N_slots, X] head-major packed pool
+    side: jax.Array,       # [B, Hkv, Kw, X] window rows (col j = step-j row)
+    entry_pos: jax.Array,  # [B] int32 position of each slot's first window row
+    n_rows: jax.Array,     # [B] int32 valid window rows (0 => untouched slot)
+    page_tables: jax.Array,  # [B, maxp]
+    page_size: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """End-of-window flush of the decode side buffer into the paged pool.
+
+    A slot's n_rows window rows sit at consecutive positions entry_pos ...
+    entry_pos + n_rows - 1, spanning at most two pages when n_rows <=
+    page_size. Replaces n_rows per-step RMW writes per slot with <=2 page
+    RMWs per slot per window."""
+    B, Hkv, Kw, X = side.shape
+    S = page_size
+    maxp = page_tables.shape[1]
+    assert Kw <= S, "window rows must fit a page"
+
+    safe_tables = jnp.maximum(page_tables, 0)
+    pg1 = jnp.clip(entry_pos // S, 0, maxp - 1)
+    page1 = jnp.take_along_axis(safe_tables, pg1[:, None], axis=1)[:, 0]
+    off1 = entry_pos % S
+    starts1 = page1 * S + off1
+    lens1 = jnp.minimum(n_rows, S - off1)
+    p2 = entry_pos + lens1
+    pg2 = jnp.clip(p2 // S, 0, maxp - 1)
+    page2 = jnp.take_along_axis(safe_tables, pg2[:, None], axis=1)[:, 0]
+    starts2 = page2 * S
+    lens2 = jnp.maximum(n_rows - lens1, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # side
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pool in
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((B, 2, Hkv, S, X), pool.dtype),
+            pltpu.SemaphoreType.DMA((B, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flush_side_kernel_hm, B=B, S=S, Kw=Kw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        input_output_aliases={5: 0},  # scalars 0-3, side=4, pool=5
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts1, lens1, starts2, lens2, side.astype(pool.dtype), pool)

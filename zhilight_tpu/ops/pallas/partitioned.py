@@ -30,8 +30,10 @@ from .prefill_attention import paged_prefill_attention_hm as _prefill_hm
 __all__ = [
     "paged_decode_attention_hm_sharded",
     "paged_decode_attention_hm_q_sharded",
+    "paged_decode_attention_hm_partial_sharded",
     "paged_prefill_attention_hm_sharded",
     "write_rows_hm_sharded",
+    "flush_side_rows_hm_sharded",
 ]
 
 
@@ -167,3 +169,59 @@ def write_rows_hm_sharded(pool, rows, slot_mapping, page_size, interpret=False):
         need_replication_factors=("n", "x", "t"),  # first-appearance order
     )
     return f(pool, rows, slot_mapping)
+
+
+def paged_decode_attention_hm_partial_sharded(
+    q, kv_pool, page_tables, pool_lens, page_size, scale, interpret=False,
+):
+    """emit_partial variant of paged_decode_attention_hm_sharded for the
+    decode-window side-buffer path: per-shard flash partials
+    [B, Hkv_local, G, 2D] fp32 merge with the (head-sharded) XLA side
+    attention downstream, so no collective is needed here either."""
+
+    def _impl(q, pool, pt, cl):
+        return _attn_hm(
+            q, pool, pt, cl, page_size, scale, 0,
+            interpret=interpret, emit_partial=True,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, pt, cl):
+            return _impl(q, pool, pt, cl)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    f.def_partition(
+        partition,
+        sharding_rule="b (h g) d, h n x, b m, b -> b h g x",
+        need_replication_factors=("d", "n", "x", "m"),
+    )
+    return f(q, kv_pool, page_tables, pool_lens)
+
+
+def flush_side_rows_hm_sharded(
+    pool, side, entry_pos, n_rows, page_tables, page_size, interpret=False,
+):
+    """flush_side_rows_hm with an SPMD rule: pool and side rows both shard
+    their kv-head dim, so each shard flushes its local heads."""
+    from .kv_write import flush_side_rows_hm as _flush
+
+    def _impl(pool, side, ep, nr, pt):
+        return _flush(pool, side, ep, nr, pt, page_size, interpret=interpret)
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(pool, side, ep, nr, pt):
+            return _impl(pool, side, ep, nr, pt)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    f.def_partition(
+        partition,
+        sharding_rule="h n x, b h k x, b, b, b m -> h n x",
+        need_replication_factors=("n", "x", "k", "m"),
+    )
+    return f(pool, side, entry_pos, n_rows, page_tables)

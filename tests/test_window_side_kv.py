@@ -246,3 +246,52 @@ def test_engine_window_e2e_interpret():
     base = run({})
     side = run({"ZT_PALLAS_INTERPRET": "1"})
     assert base == side, f"{base} vs {side}"
+
+
+def test_engine_window_e2e_int8_interpret():
+    """Same engine e2e equality with the int8 packed KV cache: window rows
+    carry quantize-dequantized values and the flush requantizes + scatters
+    per-(token, head) scales."""
+    import os
+
+    from zhilight_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from zhilight_tpu.engine import GeneratorArg
+    from zhilight_tpu.llm import LLM
+
+    cfg = ModelConfig(
+        model_type="llama", num_layers=2, dim_model=HKV * G * D,
+        num_heads=HKV * G, dim_head=D, num_kv_heads=HKV, dim_ff=128,
+        vocab_size=128, dtype="float32",
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=16, num_pages=16, kv_dtype="int8"),
+        scheduler=SchedulerConfig(
+            max_batch=2, chunk_size=16, prefill_buckets=(16,), eos_id=1,
+            decode_multi_step=4,
+        ),
+    )
+    rng = np.random.RandomState(4)
+    prompts = [list(rng.randint(2, 100, size=n)) for n in (11, 7)]
+
+    def run(env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            llm = LLM(model_config=cfg, params=jax.tree.map(lambda x: x, params),
+                      engine_config=ecfg)
+            with llm.generator() as g:
+                return [
+                    g.generate(p, GeneratorArg(max_length=8)).outputs[0].token_ids
+                    for p in prompts
+                ]
+        finally:
+            for k, v in old.items():
+                os.environ.pop(k, None)
+                if v is not None:
+                    os.environ[k] = v
+
+    base = run({})
+    side = run({"ZT_PALLAS_INTERPRET": "1"})
+    assert base == side, f"{base} vs {side}"

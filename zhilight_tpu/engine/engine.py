@@ -393,7 +393,7 @@ class ModelExecutor:
         if num_steps < 2 or num_steps > self.page_size:
             return False
         cache = self.cache
-        if not cache.packed or cache.quantized:
+        if not cache.packed:
             return False
         if self.cfg.mla.enabled or (self.cfg.sliding_window or 0) > 0:
             return False
@@ -438,8 +438,10 @@ class ModelExecutor:
                 B = tokens.shape[0]
                 entry_pos = positions
                 pool_lens = jnp.maximum(context_lens - 1, 0)
+                # side rows hold full-precision (int8 pools: dequantized)
+                # values in the model dtype; the flush (re)quantizes
                 side_rows0 = llama_mod.new_side_rows(
-                    cfg, B, num_steps, cache.k[0].dtype
+                    cfg, B, num_steps, cfg.jax_dtype
                 )
                 side_valid0 = jnp.zeros((B, num_steps), bool)
 

@@ -146,6 +146,15 @@ def _side_window_attention(cfg, cache, layer_idx, q, k, v, meta, side, scale):
     G = Hq // Hkv
 
     rows = side["rows"]  # [B, Hkv, Kw, 2D]
+    if cache.quantized:
+        # quantize-dequantize so window rows carry the same values the int8
+        # pool will hold after the flush (per-step int8 write semantics)
+        from ..kvcache.paged import _quantize_rows
+
+        kq, ksc = _quantize_rows(k)
+        vq, vsc = _quantize_rows(v)
+        k = (kq.astype(jnp.float32) * ksc[..., None]).astype(k.dtype)
+        v = (vq.astype(jnp.float32) * vsc[..., None]).astype(v.dtype)
     upd = jnp.concatenate([k, v], axis=-1).astype(rows.dtype)[:, :, None, :]
     rows = jax.lax.dynamic_update_slice(
         rows, upd, (0, 0, side["step"], 0)
@@ -153,7 +162,27 @@ def _side_window_attention(cfg, cache, layer_idx, q, k, v, meta, side, scale):
 
     from ..parallel import kernel_partitioning_enabled
 
-    if kernel_partitioning_enabled():
+    if cache.quantized:
+        if kernel_partitioning_enabled():
+            from ..ops.pallas.partitioned import (
+                paged_decode_attention_hm_q_partial_sharded as _pq,
+            )
+
+            partial = _pq(
+                q, cache.k[layer_idx], cache.k_scale[layer_idx],
+                cache.v_scale[layer_idx], meta.page_tables, side["pool_lens"],
+                cache.page_size, scale, interpret=_pallas_interpret(),
+            )
+        else:
+            from ..ops.pallas.attn_headmajor import paged_decode_attention_hm_q
+
+            partial = paged_decode_attention_hm_q(
+                q, cache.k[layer_idx], cache.k_scale[layer_idx],
+                cache.v_scale[layer_idx], meta.page_tables, side["pool_lens"],
+                cache.page_size, scale, 0,
+                interpret=_pallas_interpret(), emit_partial=True,
+            )
+    elif kernel_partitioning_enabled():
         from ..ops.pallas.partitioned import (
             paged_decode_attention_hm_partial_sharded,
         )
@@ -622,9 +651,39 @@ def flush_window_rows(
         from ..ops.pallas.kv_write import flush_side_rows_hm
 
     n_rows = jnp.sum(side_valid.astype(jnp.int32), axis=1)
+    B, Hkv, Kw, D2 = side_rows[0].shape
+    D = D2 // 2
+
+    if cache.quantized:
+        # side rows hold dequantized values: requantize (idempotent on the
+        # value grid) and scatter the per-(token, head) scales slot-major
+        from ..kvcache.paged import _quantize_rows
+
+        S = cache.page_size
+        p = entry_pos[:, None] + jnp.arange(Kw)[None, :]  # [B, Kw]
+        maxp = page_tables.shape[1]
+        pg = jnp.clip(p // S, 0, maxp - 1)
+        page = jnp.take_along_axis(jnp.maximum(page_tables, 0), pg, axis=1)
+        slots = page * S + p % S
+        live = jnp.arange(Kw)[None, :] < n_rows[:, None]
+        slots = jnp.where(live, slots, cache.num_slots).reshape(-1)  # drop
+
     for i in range(cfg.num_layers):
+        rows = side_rows[i]
+        if cache.quantized:
+            kq, ks = _quantize_rows(rows[..., :D])
+            vq, vs = _quantize_rows(rows[..., D:])
+            rows = jnp.concatenate([kq, vq], axis=-1)  # [B, Hkv, Kw, 2D] int8
+            # scales [B, Hkv, Kw] -> rows of the slot-major [N, Hkv] arrays
+            ks_f = jnp.swapaxes(ks, 1, 2).reshape(-1, Hkv)
+            vs_f = jnp.swapaxes(vs, 1, 2).reshape(-1, Hkv)
+            cache = cache.set_layer(
+                i,
+                k_scale=cache.k_scale[i].at[slots].set(ks_f, mode="drop"),
+                v_scale=cache.v_scale[i].at[slots].set(vs_f, mode="drop"),
+            )
         pool = flush_side_rows_hm(
-            cache.k[i], side_rows[i], entry_pos, n_rows, page_tables,
+            cache.k[i], rows, entry_pos, n_rows, page_tables,
             cache.page_size, interpret=_pallas_interpret(),
         )
         cache = cache.set_layer(i, k=pool)

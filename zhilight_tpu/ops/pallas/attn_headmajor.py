@@ -228,6 +228,7 @@ def _kernel_hm_q(
     scale: float,
     sliding_window: int,
     packed_dim: int,
+    emit_partial: bool = False,
 ):
     F = fetch_pages
     q_ref = refs[0]                     # [1, Hkv, G, 2D] (q zero-padded)
@@ -284,8 +285,17 @@ def _kernel_hm_q(
 
     @pl.when(i == num_blocks - 1)
     def _finish():
-        l = jnp.maximum(l_ref[...], 1e-20)
-        o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
+        if emit_partial:
+            lane = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 2)
+            out = jnp.where(
+                lane == 0,
+                m_ref[...],
+                jnp.where(lane == 1, l_ref[...], acc_ref[...]),
+            )
+            o_ref[0] = out.astype(o_ref.dtype)
+        else:
+            l = jnp.maximum(l_ref[...], 1e-20)
+            o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
 
 
 def paged_decode_attention_hm_q(
@@ -300,6 +310,7 @@ def paged_decode_attention_hm_q(
     sliding_window: int = 0,
     fetch_pages: int = 8,
     interpret: bool = False,
+    emit_partial: bool = False,
 ) -> jax.Array:
     B, Hq, D = q.shape
     Hkv, N, D2 = kv_pool.shape
@@ -309,6 +320,7 @@ def paged_decode_attention_hm_q(
     FPB = min(fetch_pages, maxp)
     num_blocks = (maxp + FPB - 1) // FPB
     FPB = (maxp + num_blocks - 1) // num_blocks
+    out_dim = D2 if emit_partial else D
 
     q_g = jnp.pad(q.reshape(B, Hkv, G, D), ((0, 0), (0, 0), (0, 0), (0, D2 - D)))
     safe_tables = jnp.maximum(page_tables, 0)
@@ -343,7 +355,7 @@ def paged_decode_attention_hm_q(
         grid=(B, num_blocks),
         in_specs=[pl.BlockSpec((1, Hkv, G, D2), q_index)]
         + kv_specs + sc_specs + sc_specs,
-        out_specs=pl.BlockSpec((1, Hkv, G, D), q_index),
+        out_specs=pl.BlockSpec((1, Hkv, G, out_dim), q_index),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
@@ -358,11 +370,14 @@ def paged_decode_attention_hm_q(
         scale=scale,
         sliding_window=sliding_window,
         packed_dim=D,
+        emit_partial=emit_partial,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Hkv, G, out_dim), jnp.float32 if emit_partial else q.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -371,4 +386,6 @@ def paged_decode_attention_hm_q(
         safe_tables, context_lens, q_g,
         *([kv_pool] * FPB), *([k_scales] * FPB), *([v_scales] * FPB),
     )
+    if emit_partial:
+        return out
     return out.reshape(B, Hq, D)

@@ -31,6 +31,7 @@ __all__ = [
     "paged_decode_attention_hm_sharded",
     "paged_decode_attention_hm_q_sharded",
     "paged_decode_attention_hm_partial_sharded",
+    "paged_decode_attention_hm_q_partial_sharded",
     "paged_prefill_attention_hm_sharded",
     "write_rows_hm_sharded",
     "flush_side_rows_hm_sharded",
@@ -225,3 +226,32 @@ def flush_side_rows_hm_sharded(
         need_replication_factors=("n", "x", "k", "m"),
     )
     return f(pool, side, entry_pos, n_rows, page_tables)
+
+
+def paged_decode_attention_hm_q_partial_sharded(
+    q, kv_pool, k_scales, v_scales, page_tables, pool_lens, page_size, scale,
+    interpret=False,
+):
+    """emit_partial variant of paged_decode_attention_hm_q_sharded (int8
+    pool) for the decode-window side-buffer path."""
+
+    def _impl(q, pool, ks, vs, pt, cl):
+        return _attn_hm_q(
+            q, pool, ks, vs, pt, cl, page_size, scale, 0,
+            interpret=interpret, emit_partial=True,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, ks, vs, pt, cl):
+            return _impl(q, pool, ks, vs, pt, cl)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    f.def_partition(
+        partition,
+        sharding_rule="b (h g) d, h n x, n h, n h, b m, b -> b h g x",
+        need_replication_factors=("d", "n", "x", "m"),
+    )
+    return f(q, kv_pool, k_scales, v_scales, page_tables, pool_lens)

@@ -72,3 +72,16 @@ def test_calc_log_prob_explicit_labels(llm):
     lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
     want = [float(lp[i, labels[i]]) for i in range(4)]
     np.testing.assert_allclose(per, want, rtol=1e-4, atol=1e-5)
+
+
+def test_score_longer_than_largest_bucket(llm):
+    """Scoring sequences beyond the largest prefill bucket compiles a
+    dedicated shape instead of crashing (regression, same class as the
+    record_prompt overflow)."""
+    import numpy as np
+
+    cap = llm.executor.sched_cfg.prefill_buckets[-1]
+    rng = np.random.RandomState(7)
+    toks = list(rng.randint(2, 60, size=cap + 5))
+    total, per = llm.calc_log_prob(toks)
+    assert np.isfinite(total) and len(per) == len(toks) - 1

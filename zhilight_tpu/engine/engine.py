@@ -650,6 +650,10 @@ class ModelExecutor:
 
         n = int(tokens.shape[0])
         bucket = self.pick_bucket(n)
+        if n > bucket:
+            # longer than the largest prefill bucket: compile a dedicated
+            # shape (scoring is offline; one extra compile beats truncation)
+            bucket = _round_up(n, 128)
         S = self.page_size
         maxp = _round_up(bucket, S) // S
         cfg = self.cfg
@@ -669,7 +673,7 @@ class ModelExecutor:
         pos[:n] = np.arange(n)
         slots = np.full(bucket, -1, np.int32)
         slots[:n] = np.arange(n)
-        pt = np.full(self.max_pages_per_seq, -1, np.int32)
+        pt = np.full(max(maxp, self.max_pages_per_seq), -1, np.int32)
         pt[:maxp] = np.arange(maxp)
         meta = PrefillMeta(
             positions=jnp.asarray(pos),

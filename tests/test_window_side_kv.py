@@ -295,3 +295,57 @@ def test_engine_window_e2e_int8_interpret():
     base = run({})
     side = run({"ZT_PALLAS_INTERPRET": "1"})
     assert base == side, f"{base} vs {side}"
+
+
+def test_engine_window_e2e_mla_interpret():
+    """MLA latent cache through the window path (side latent rows + 2-D
+    flush) matches the default CPU engine."""
+    import os
+
+    from zhilight_tpu.config import (
+        CacheConfig, EngineConfig, MLAConfig, SchedulerConfig,
+    )
+    from zhilight_tpu.engine import GeneratorArg
+    from zhilight_tpu.llm import LLM
+
+    cfg = ModelConfig(
+        model_type="deepseek_v2", num_layers=2, dim_model=32, num_heads=4,
+        dim_head=8, num_kv_heads=4, dim_ff=64, vocab_size=128,
+        dtype="float32",
+        mla=MLAConfig(
+            q_lora_rank=16, kv_lora_rank=16, qk_nope_head_dim=8,
+            qk_rope_head_dim=4, v_head_dim=8,
+        ),
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(5), jnp.float32)
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=16, num_pages=16),
+        scheduler=SchedulerConfig(
+            max_batch=2, chunk_size=16, prefill_buckets=(16,), eos_id=1,
+            decode_multi_step=4,
+        ),
+    )
+    rng = np.random.RandomState(6)
+    prompts = [list(rng.randint(2, 100, size=n)) for n in (12, 6)]
+
+    def run(env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            llm = LLM(model_config=cfg, params=jax.tree.map(lambda x: x, params),
+                      engine_config=ecfg)
+            with llm.generator() as g:
+                return [
+                    g.generate(p, GeneratorArg(max_length=8)).outputs[0].token_ids
+                    for p in prompts
+                ]
+        finally:
+            for k, v in old.items():
+                os.environ.pop(k, None)
+                if v is not None:
+                    os.environ[k] = v
+
+    base = run({})
+    side = run({"ZT_PALLAS_INTERPRET": "1"})
+    assert base == side, f"{base} vs {side}"

@@ -393,17 +393,25 @@ class ModelExecutor:
         if num_steps < 2 or num_steps > self.page_size:
             return False
         cache = self.cache
-        if not cache.packed:
-            return False
-        if self.cfg.mla.enabled or (self.cfg.sliding_window or 0) > 0:
+        if (self.cfg.sliding_window or 0) > 0:
             return False
         if self.stacked or self.pp > 1:
             return False
         # pallas decode path only (the XLA fallback writes per step anyway);
-        # multi-device meshes route the partial + flush kernels through their
-        # custom_partitioning wrappers (ops/pallas/partitioned.py)
+        # GQA multi-device meshes route the partial + flush kernels through
+        # their custom_partitioning wrappers (ops/pallas/partitioned.py)
         from ..models.llama import _pallas_interpret, _use_pallas_decode
+        from ..parallel import kernel_partitioning_enabled
 
+        if self.cfg.mla.enabled:
+            from ..models.mla import _use_pallas_mla
+
+            if kernel_partitioning_enabled():
+                # no sharded wrappers for the latent partial/flush yet
+                return False
+            return _use_pallas_mla() or _pallas_interpret()
+        if not cache.packed:
+            return False
         return _use_pallas_decode(self.cfg, cache) or _pallas_interpret()
 
     def _decode_multi_fn(self, num_steps: int, num_logprobs: int, nb: int = 0, np_: int = 0,

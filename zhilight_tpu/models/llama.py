@@ -452,8 +452,6 @@ def decoder_layer(
     With ``side`` (decode windows) returns (x, cache, new_side_rows)."""
     if cfg.mla.enabled:
         from .mla import mla_attention_layer as attn_fn
-
-        assert side is None, "side windows are standard/GQA-attention only"
     else:
         attn_fn = attention_layer
 
@@ -589,7 +587,14 @@ def forward_decode(
 
 
 def new_side_rows(cfg: ModelConfig, batch: int, window: int, dtype):
-    """Zeroed per-layer window side buffers [B, Hkv, Kw, 2*dim_head]."""
+    """Zeroed per-layer window side buffers: [B, Hkv, Kw, 2*dim_head] for
+    standard/GQA attention, [B, Kw, stored] (lane-padded latent) for MLA."""
+    if cfg.mla.enabled:
+        stored = (cfg.mla.latent_dim + 127) // 128 * 128
+        return tuple(
+            jnp.zeros((batch, window, stored), dtype)
+            for _ in range(cfg.num_layers)
+        )
     return tuple(
         jnp.zeros((batch, cfg.num_kv_heads, window, 2 * cfg.dim_head), dtype)
         for _ in range(cfg.num_layers)
@@ -651,6 +656,18 @@ def flush_window_rows(
         from ..ops.pallas.kv_write import flush_side_rows_hm
 
     n_rows = jnp.sum(side_valid.astype(jnp.int32), axis=1)
+
+    if cfg.mla.enabled:
+        from ..ops.pallas.kv_write import flush_side_rows_2d
+
+        for i in range(cfg.num_layers):
+            pool = flush_side_rows_2d(
+                cache.latent[i], side_rows[i], entry_pos, n_rows, page_tables,
+                cache.page_size, interpret=_pallas_interpret(),
+            )
+            cache = cache.set_layer(i, latent=pool)
+        return cache
+
     B, Hkv, Kw, D2 = side_rows[0].shape
     D = D2 // 2
 

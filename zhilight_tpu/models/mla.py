@@ -88,6 +88,7 @@ def mla_attention_layer(
     meta,
     mode: str,
     rot=None,
+    side=None,
 ) -> Tuple[jax.Array, KVCache]:
     m = cfg.mla
     T = x.shape[0]
@@ -106,6 +107,17 @@ def mla_attention_layer(
 
     latent = jnp.concatenate([c_kv, k_pe], axis=-1)  # [T, latent_dim]
     w_uk, w_uv = _kv_b_weights(p, cfg)
+
+    if side is not None:
+        # decode-window side buffer: defer the latent pool write, merge the
+        # window's latent rows in XLA with the kernel's flash partials
+        assert mode == "decode"
+        out, rows = _side_window_mla(
+            cfg, cache, layer_idx, q_nope, q_pe, latent, w_uk, w_uv, meta,
+            side, scale, m,
+        )
+        out = out.reshape(T, cfg.num_heads * m.v_head_dim)
+        return linear(p["o_proj"], out), cache, rows
 
     if mode == "decode" and _use_pallas_mla() and _use_fused_latent():
         # fused write+attend: one kernel per layer, pool aliased in place
@@ -180,6 +192,64 @@ def _mla_decode_pallas_fused(
         preferred_element_type=jnp.float32,
     ).astype(q_nope.dtype)
     return out, cache.set_layer(layer_idx, latent=pool)
+
+
+def _side_window_mla(
+    cfg, cache, layer_idx, q_nope, q_pe, latent, w_uk, w_uv, meta, side,
+    scale, m,
+):
+    """MLA decode with the window side buffer: latent rows accumulate in
+    [B, Kw, stored]; the pallas latent kernel emits flash partials over the
+    pool (masked to the window-entry context) and the side rows merge in
+    XLA (same math as _mla_decode restricted to the window)."""
+    from .llama import _pallas_interpret
+    from ..ops.pallas.paged_attention import paged_mla_decode
+
+    NEG = -1.0e38
+    B = q_nope.shape[0]
+    pool = cache.latent[layer_idx]
+    stored = pool.shape[-1]
+    v_dim = m.kv_lora_rank
+
+    rows = side["rows"]  # [B, Kw, stored]
+    lat = latent
+    if lat.shape[-1] < stored:
+        lat = jnp.pad(lat, ((0, 0), (0, stored - lat.shape[-1])))
+    rows = jax.lax.dynamic_update_slice(
+        rows, lat.astype(rows.dtype)[:, None, :], (0, side["step"], 0)
+    )
+
+    q_eff = _q_eff(q_nope, q_pe, w_uk)  # [B, H, k_dim]
+    partial = paged_mla_decode(
+        q_eff, pool, meta.page_tables, side["pool_lens"], cache.page_size,
+        scale, v_dim=v_dim, interpret=_pallas_interpret(), emit_partial=True,
+    )  # [B, H, 128 + v_dim] fp32
+    m_pool = jnp.maximum(partial[..., 0:1], NEG)
+    l_pool = partial[..., 1:2]
+    acc_pool = partial[..., 128:]
+
+    qp = q_eff.astype(jnp.float32)
+    if qp.shape[-1] < stored:
+        qp = jnp.pad(qp, ((0, 0), (0, 0), (0, stored - qp.shape[-1])))
+    rf = rows.astype(jnp.float32)
+    s = jnp.einsum("bhx,bkx->bhk", qp, rf) * scale
+    s = jnp.where(side["valid"][:, None, :], s, 2.0 * NEG)
+    m_side = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), NEG)
+    p_side = jnp.exp(s - m_side)
+    l_side = jnp.sum(p_side, axis=-1, keepdims=True)
+    acc_side = jnp.einsum("bhk,bkv->bhv", p_side, rf[..., :v_dim])
+
+    m_tot = jnp.maximum(m_pool, m_side)
+    a_pool = jnp.exp(m_pool - m_tot)
+    a_side = jnp.exp(m_side - m_tot)
+    l_tot = jnp.maximum(l_pool * a_pool + l_side * a_side, 1e-20)
+    out_latent = (acc_pool * a_pool + acc_side * a_side) / l_tot
+
+    out = jnp.einsum(
+        "bhl,lhv->bhv", out_latent, w_uv.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(q_nope.dtype)
+    return out, rows
 
 
 def _mla_decode_pallas(q_nope, q_pe, cache, layer_idx, w_uk, w_uv, meta, scale, m):

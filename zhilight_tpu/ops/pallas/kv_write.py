@@ -32,6 +32,7 @@ __all__ = [
     "write_rows_2d_pair",
     "write_rows_hm",
     "flush_side_rows_hm",
+    "flush_side_rows_2d",
 ]
 
 
@@ -803,6 +804,135 @@ def flush_side_rows_hm(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
         input_output_aliases={5: 0},  # scalars 0-3, side=4, pool=5
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts1, lens1, starts2, lens2, side.astype(pool.dtype), pool)
+
+
+def _flush_side_kernel_2d(
+    starts1_ref, lens1_ref, starts2_ref, lens2_ref,
+    side,    # [B, Kw, X] VMEM
+    c_in,
+    c_out,   # [N, X] pool (aliased)
+    pbuf,    # [B, 2, S, X] VMEM
+    sems,
+    *,
+    B: int,
+    S: int,
+    Kw: int,
+):
+    """2-D (slot-major) variant of _flush_side_kernel_hm for latent pools."""
+    del c_in
+
+    def page_of(start):
+        return (start // S) * S
+
+    for b in range(B):
+        @pl.when(lens1_ref[b] > 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[pl.ds(page_of(starts1_ref[b]), S)], pbuf.at[b, 0],
+                sems.at[b, 0],
+            ).start()
+        @pl.when(lens2_ref[b] > 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[pl.ds(page_of(starts2_ref[b]), S)], pbuf.at[b, 1],
+                sems.at[b, 1],
+            ).start()
+
+    for b in range(B):
+        rows_b = side[b]  # [Kw, X]
+
+        def merge_run(r, start, j0, length):
+            pltpu.make_async_copy(
+                c_out.at[pl.ds(page_of(start), S)], pbuf.at[b, r], sems.at[b, r]
+            ).wait()
+            off = start - page_of(start)
+            s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Kw), 0)
+            j_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Kw), 1)
+            hit = (s_iota - off == j_iota - j0) & (j_iota >= j0) & (
+                j_iota < j0 + length
+            )
+            sel = jnp.where(hit, 1.0, 0.0).astype(rows_b.dtype)
+            upd = jax.lax.dot_general(
+                sel, rows_b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [S, X]
+            row_hit = (s_iota[:, :1] >= off) & (s_iota[:, :1] < off + length)
+            pbuf[b, r] = jnp.where(row_hit, upd.astype(pbuf.dtype), pbuf[b, r])
+            pltpu.make_async_copy(
+                pbuf.at[b, r], c_out.at[pl.ds(page_of(start), S)], sems.at[b, r]
+            ).start()
+
+        @pl.when(lens1_ref[b] > 0)
+        def _():
+            merge_run(0, starts1_ref[b], 0, lens1_ref[b])
+
+        @pl.when(lens2_ref[b] > 0)
+        def _():
+            merge_run(1, starts2_ref[b], lens1_ref[b], lens2_ref[b])
+
+    for b in range(B):
+        @pl.when(lens1_ref[b] > 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[pl.ds(page_of(starts1_ref[b]), S)], pbuf.at[b, 0],
+                sems.at[b, 0],
+            ).wait()
+        @pl.when(lens2_ref[b] > 0)
+        def _():
+            pltpu.make_async_copy(
+                c_out.at[pl.ds(page_of(starts2_ref[b]), S)], pbuf.at[b, 1],
+                sems.at[b, 1],
+            ).wait()
+
+
+def flush_side_rows_2d(
+    pool: jax.Array,       # [N_slots, X] slot-major (e.g. MLA latent)
+    side: jax.Array,       # [B, Kw, X] window rows
+    entry_pos: jax.Array,  # [B]
+    n_rows: jax.Array,     # [B]
+    page_tables: jax.Array,
+    page_size: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """flush_side_rows_hm for 2-D slot-major pools (MLA latent cache)."""
+    B, Kw, X = side.shape
+    S = page_size
+    maxp = page_tables.shape[1]
+    assert Kw <= S, "window rows must fit a page"
+
+    safe_tables = jnp.maximum(page_tables, 0)
+    pg1 = jnp.clip(entry_pos // S, 0, maxp - 1)
+    page1 = jnp.take_along_axis(safe_tables, pg1[:, None], axis=1)[:, 0]
+    off1 = entry_pos % S
+    starts1 = page1 * S + off1
+    lens1 = jnp.minimum(n_rows, S - off1)
+    p2 = entry_pos + lens1
+    pg2 = jnp.clip(p2 // S, 0, maxp - 1)
+    page2 = jnp.take_along_axis(safe_tables, pg2[:, None], axis=1)[:, 0]
+    starts2 = page2 * S
+    lens2 = jnp.maximum(n_rows - lens1, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((B, 2, S, X), pool.dtype),
+            pltpu.SemaphoreType.DMA((B, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flush_side_kernel_2d, B=B, S=S, Kw=Kw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(starts1, lens1, starts2, lens2, side.astype(pool.dtype), pool)

@@ -189,6 +189,7 @@ def _kernel_bs(
     packed_dim: int = 0,
     v_dim: int = 0,  # MLA latent mode: scores over the full stored dim
                      # (query zero-padded), V = prefix slice [..., :v_dim]
+    emit_partial: bool = False,
 ):
     """BlockSpec-pipelined variant: Mosaic's pipeline does the page fetches
     through ``fetch_pages`` independent page windows per grid step (one-page
@@ -268,14 +269,30 @@ def _kernel_bs(
 
     @pl.when(i == num_blocks - 1)
     def _finish():
-        l = jnp.maximum(l_ref[...], 1e-20)
-        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        if emit_partial:
+            # flash partials for XLA-side merging with out-of-pool rows:
+            # a 128-lane header carries the running max (lane 0) and
+            # normalizer (lane 1); the UNNORMALIZED accumulator follows
+            Hh, Gg, _ = acc_ref.shape
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Hh, Gg, 128), 2)
+            head = jnp.where(
+                lane == 0,
+                m_ref[...],
+                jnp.where(lane == 1, l_ref[...], 0.0),
+            )
+            o_ref[0] = jnp.concatenate([head, acc_ref[...]], axis=-1).astype(
+                o_ref.dtype
+            )
+        else:
+            l = jnp.maximum(l_ref[...], 1e-20)
+            o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
 def _paged_decode_blockspec(
     q_g,  # [B, Hkv, G, D]
     k_pages, v_pages, safe_tables, context_lens, page_size, scale,
     sliding_window, interpret, fetch_pages=8, packed=False, v_dim=0,
+    emit_partial=False,
 ):
     B, Hkv, G, D = q_g.shape
     S = page_size
@@ -284,6 +301,7 @@ def _paged_decode_blockspec(
     num_blocks = (maxp + FPB - 1) // FPB
     stored = k_pages.shape[-1]  # 2D when packed; latent width in MLA mode
     Dv = v_dim if v_dim else D
+    Dout = Dv + 128 if emit_partial else Dv
 
     def q_index(b, i, *_):
         return (b, 0, 0, 0)
@@ -309,7 +327,7 @@ def _paged_decode_blockspec(
         num_scalar_prefetch=2,
         grid=(B, num_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Hkv, G, Dv), q_index),
+        out_specs=pl.BlockSpec((1, Hkv, G, Dout), q_index),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
             pltpu.VMEM((Hkv, G, 1), jnp.float32),
@@ -325,11 +343,14 @@ def _paged_decode_blockspec(
         sliding_window=sliding_window,
         packed_dim=D if packed else 0,
         v_dim=v_dim,
+        emit_partial=emit_partial,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dv), q_g.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Hkv, G, Dout), jnp.float32 if emit_partial else q_g.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -771,6 +792,7 @@ def paged_mla_decode(
     scale: float,
     v_dim: int,  # kv_lora_rank: V = latent[..., :v_dim]
     interpret: bool = False,
+    emit_partial: bool = False,
 ) -> jax.Array:
     """MLA absorbed-weight latent decode as single-"head" MQA (reference
     forward_compressed_cache + FlashMLA, multi_head_latent_attention.cpp).
@@ -789,7 +811,11 @@ def paged_mla_decode(
     out = _paged_decode_blockspec(
         q_g, pool3, pool3, jnp.maximum(page_tables, 0), context_lens,
         page_size, scale, 0, interpret, fetch_pages=8, v_dim=v_dim,
+        emit_partial=emit_partial,
     )
+    if emit_partial:
+        # [B, H, 128 + v_dim] fp32: lane 0 m, lane 1 l, [128:] unnormalized
+        return out.reshape(B, H, v_dim + 128)
     return out.reshape(B, H, v_dim)
 
 

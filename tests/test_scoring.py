@@ -85,3 +85,28 @@ def test_score_longer_than_largest_bucket(llm):
     toks = list(rng.randint(2, 60, size=cap + 5))
     total, per = llm.calc_log_prob(toks)
     assert np.isfinite(total) and len(per) == len(toks) - 1
+
+
+def test_hidden_states_surface(llm):
+    """calc_hidden_states + GeneratorArg.output_hidden_states (reference
+    output_hidden_states / RequestResult.hidden_states,
+    batch_generator.cpp:734-752)."""
+    import numpy as np
+
+    from zhilight_tpu.engine import GeneratorArg
+
+    toks = [5, 9, 17, 23]
+    hs = llm.calc_hidden_states(toks)
+    assert hs.shape == (4, llm.model_config.dim_model)
+    assert np.isfinite(hs).all()
+
+    with llm.generator() as g:
+        res = g.generate(
+            toks, GeneratorArg(max_length=4, output_hidden_states=True)
+        )
+    assert res.hidden_states is not None and len(res.hidden_states) == 1
+    full = res.hidden_states[0]
+    n_out = len(res.outputs[0].token_ids)
+    assert full.shape == (len(toks) + n_out, llm.model_config.dim_model)
+    # prompt prefix matches the standalone scoring pass
+    np.testing.assert_allclose(full[: len(toks)], hs, rtol=1e-5, atol=1e-5)

@@ -650,7 +650,23 @@ class ModelExecutor:
 
         return score
 
-    def run_score(self, tokens: np.ndarray) -> np.ndarray:
+    def _hidden_fn(self, bucket: int):
+        cfg, rope = self.cfg, self.rope
+
+        @jax.jit
+        def hid(params, tokens, meta, cache):
+            mod = self._fwd_mod()
+            hidden, _ = mod.forward_hidden(params, cfg, rope, tokens, meta, cache)
+            return hidden
+
+        return hid
+
+    def run_hidden(self, tokens: np.ndarray) -> np.ndarray:
+        """Full-sequence last-layer (final-norm) hidden states [T, dim]
+        (reference output_hidden_states, batch_generator.cpp:734-752)."""
+        return self.run_score(tokens, _kind="hidden")
+
+    def run_score(self, tokens: np.ndarray, _kind: str = "score") -> np.ndarray:
         """Full-sequence logits for scoring utilities (reference calc_logits /
         calc_log_prob / calc_loss / calc_greedy_match, llama.h:100-131).
         Uses a scratch identity-paged cache; does not touch serving state."""
@@ -690,9 +706,14 @@ class ModelExecutor:
             cache_len=jnp.int32(0),
             q_len=jnp.int32(n),
         )
-        fn = self._get(("score", bucket), lambda: self._score_fn(bucket))
-        logits = fn(self.params, jnp.asarray(tok), meta, cache)
-        return np.asarray(logits[:n])
+        fn = self._get(
+            (_kind, bucket),
+            lambda: self._score_fn(bucket)
+            if _kind == "score"
+            else self._hidden_fn(bucket),
+        )
+        out = fn(self.params, jnp.asarray(tok), meta, cache)
+        return np.asarray(out[:n])
 
     def warmup(self) -> float:
         """Startup self-test: compile and run every hot program at its serving

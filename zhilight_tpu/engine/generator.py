@@ -98,7 +98,22 @@ class DynamicBatchGenerator:
             for out in outs:
                 out.decode(self.tokenizer)
                 self._apply_stop_strings(out, arg)
-        return RequestResult(prompt=prompt, outputs=outs, input_tokens_num=len(tokens))
+        hs = None
+        if arg.output_hidden_states:
+            # exact recompute through the scoring path (one prefill-shaped
+            # pass per output) — keeps hidden-state plumbing out of the
+            # decode hot loop; reference fills them inside the decode step
+            # (fill_last_hidden_states), same values
+            hs = [
+                self.model.executor.run_hidden(
+                    np.asarray(tokens + list(out.token_ids), np.int32)
+                )
+                for out in outs
+            ]
+        return RequestResult(
+            prompt=prompt, outputs=outs, input_tokens_num=len(tokens),
+            hidden_states=hs,
+        )
 
     @staticmethod
     def _apply_stop_strings(out: GenerativeOutput, arg: GeneratorArg):

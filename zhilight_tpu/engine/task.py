@@ -65,6 +65,10 @@ class GeneratorArg:
     session_id: Optional[str] = None
     session_continue: bool = False
     sess_chunk_pos: int = 0
+    # return last-layer hidden states for prompt+output positions (reference
+    # output_hidden_states, dynamic_batch.py:105-121): filled on the final
+    # RequestResult as one [T, dim] array per output
+    output_hidden_states: bool = False
 
     def __post_init__(self):
         if self.presence_penalty:
@@ -273,6 +277,9 @@ class RequestResult:
     prompt: Union[str, List[int]]
     outputs: List[GenerativeOutput]
     input_tokens_num: int
+    # per output: last-layer hidden states [prompt+output, dim] when the
+    # request set output_hidden_states (reference RequestResult.hidden_states)
+    hidden_states: Optional[List[np.ndarray]] = None
 
     def __repr__(self) -> str:
         return f"RequestResult(outputs={self.outputs}, input_tokens_num={self.input_tokens_num})"

@@ -126,6 +126,11 @@ class LLM:
         """Per-position vocab logits [T, vocab] (fp32 numpy)."""
         return self.executor.run_score(self._encode_ids(tokens))
 
+    def calc_hidden_states(self, tokens):
+        """Per-position last-layer (final-norm) hidden states [T, dim]
+        (reference output_hidden_states surface)."""
+        return self.executor.run_hidden(self._encode_ids(tokens))
+
     def calc_log_prob(self, tokens, labels=None):
         """(total_logprob, per_position list): log p(labels[i] | tokens[:i+1]).
 

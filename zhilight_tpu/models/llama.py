@@ -571,6 +571,23 @@ def forward_score(
     return get_logits(params, cfg, hidden), cache
 
 
+def forward_hidden(
+    params: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    tokens: jax.Array,  # [T]
+    meta: PrefillMeta,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Full-sequence last-layer hidden states [T, dim] after the final norm
+    (reference output_hidden_states / fill_last_hidden_states,
+    batch_generator.cpp:734-752)."""
+    hidden, cache = backbone(
+        params, cfg, rope, tokens, meta.positions, cache, meta, "prefill"
+    )
+    return hidden, cache
+
+
 def forward_decode(
     params: Params,
     cfg: ModelConfig,

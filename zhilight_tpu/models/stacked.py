@@ -31,7 +31,7 @@ from ..kvcache.paged import KVCache
 from .base import DecodeMeta, PrefillMeta
 from . import llama as L
 
-__all__ = ["is_stackable", "stack_params", "forward_decode", "forward_prefill", "forward_score"]
+__all__ = ["is_stackable", "stack_params", "forward_decode", "forward_prefill", "forward_score", "forward_hidden"]
 
 Params = Dict[str, jax.Array]
 
@@ -172,6 +172,18 @@ def forward_score(
 ) -> Tuple[jax.Array, KVCache]:
     hidden, cache = _backbone(params, cfg, rope, tokens, cache, meta, "prefill")
     return L.get_logits(params, cfg, hidden), cache
+
+
+def forward_hidden(
+    params: Params,
+    cfg: ModelConfig,
+    rope,
+    tokens: jax.Array,
+    meta: PrefillMeta,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    hidden, cache = _backbone(params, cfg, rope, tokens, cache, meta, "prefill")
+    return hidden, cache
 
 
 def backbone_chunk(

@@ -37,24 +37,33 @@ from zhilight_tpu.models import llama as L
 
 VOCAB = 64
 
-cfg = ModelConfig(
-    model_type="llama", num_layers=2, dim_model=256, num_heads=8, dim_head=32,
-    num_kv_heads=4, dim_ff=512, vocab_size=VOCAB, dtype="float32",
-)
-params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-ecfg = EngineConfig(
-    max_model_len=128,
-    cache=CacheConfig(page_size=16, num_pages=64),
-    scheduler=SchedulerConfig(
-        max_batch=4, chunk_size=32, prefill_buckets=(32, 64), eos_id=1
-    ),
-)
-llm = LLM(model_config=cfg, params=params, engine_config=ecfg)
+GEOMS = {
+    # slot-major pools (dim_head 32: unpacked) — the original check
+    "d32": dict(dim_head=32, num_heads=8, dim_model=256),
+    # packed head-major pools (dim_head 64) — exercises the decode-window
+    # side-buffer path (window-batched KV writes) on the chip
+    "d64": dict(dim_head=64, num_heads=4, dim_model=256),
+}
 
-rng = np.random.RandomState(0)
-prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (7, 19, 41)]
-with DynamicBatchGenerator(llm) as gen:
-    results = gen.batch_generate(prompts, GeneratorArg(max_length=12))
-got = [r.outputs[0].token_ids for r in results]
 print("backend:", jax.default_backend())
-print(json.dumps(got))
+for name, g in GEOMS.items():
+    cfg = ModelConfig(
+        model_type="llama", num_layers=2, num_kv_heads=4, dim_ff=512,
+        vocab_size=VOCAB, dtype="float32", **g,
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    ecfg = EngineConfig(
+        max_model_len=128,
+        cache=CacheConfig(page_size=16, num_pages=64),
+        scheduler=SchedulerConfig(
+            max_batch=4, chunk_size=32, prefill_buckets=(32, 64), eos_id=1
+        ),
+    )
+    llm = LLM(model_config=cfg, params=params, engine_config=ecfg)
+
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (7, 19, 41)]
+    with DynamicBatchGenerator(llm) as gen:
+        results = gen.batch_generate(prompts, GeneratorArg(max_length=12))
+    got = [r.outputs[0].token_ids for r in results]
+    print(name, json.dumps(got))

@@ -55,3 +55,38 @@ def test_pp_engine_matches_single_device():
     base = _run_engine(cfg, params, prompts, pp=1)
     pp = _run_engine(cfg, params, prompts, pp=4)
     assert base == pp
+
+
+def test_pp_scoring_and_hidden():
+    """calc_logits / calc_hidden_states work under pp (PPForwards
+    forward_score/forward_hidden) and match the single-device values."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    cfg = ModelConfig(
+        model_type="llama", num_layers=4, dim_model=32, num_heads=4,
+        dim_head=8, num_kv_heads=2, dim_ff=64, vocab_size=VOCAB,
+        dtype="float32",
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    toks = [3, 9, 21, 33, 47]
+
+    def build(pp):
+        ecfg = EngineConfig(
+            max_model_len=64,
+            cache=CacheConfig(page_size=4, num_pages=64),
+            scheduler=SchedulerConfig(
+                max_batch=4, chunk_size=8, prefill_buckets=(8,), eos_id=EOS,
+            ),
+            parallel=ParallelConfig(pp=pp),
+        )
+        return LLM(model_config=cfg, params=params, engine_config=ecfg)
+
+    base = build(1)
+    pped = build(2)
+    np.testing.assert_allclose(
+        pped.calc_logits(toks), base.calc_logits(toks), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        pped.calc_hidden_states(toks), base.calc_hidden_states(toks),
+        rtol=2e-4, atol=2e-4,
+    )

@@ -31,18 +31,6 @@ LAYERS = 2
 MAXP = 4
 
 
-@pytest.fixture(scope="module")
-def setup(monkeypatch_module=None):
-    cfg = ModelConfig(
-        model_type="llama", num_layers=LAYERS, dim_model=96, num_heads=HKV * G,
-        dim_head=D, num_kv_heads=HKV, dim_ff=128, vocab_size=128,
-        dtype="float32",
-    )
-    params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-    rope = L.build_rope(cfg)
-    return cfg, params, rope
-
-
 def _fresh_cache(cfg):
     cache = new_kv_cache(
         cfg.num_layers, B * MAXP, S, cfg.num_kv_heads, cfg.dim_head, jnp.float32

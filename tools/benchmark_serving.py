@@ -56,7 +56,9 @@ def run_inprocess(args):
             scheduler=SchedulerConfig(
                 max_batch=args.batch,
                 chunk_size=args.chunk_size,
-                prefill_buckets=(128, args.chunk_size),
+                prefill_buckets=tuple(
+                    sorted({min(128, args.chunk_size), args.chunk_size})
+                ),
             ),
         )
         llm = LLM(model_path=args.model_path, engine_config=ecfg)

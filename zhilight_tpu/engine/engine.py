@@ -446,10 +446,13 @@ class ModelExecutor:
                 B = tokens.shape[0]
                 entry_pos = positions
                 pool_lens = jnp.maximum(context_lens - 1, 0)
-                # side rows hold full-precision (int8 pools: dequantized)
-                # values in the model dtype; the flush (re)quantizes
+                # side rows hold the model dtype; int8 pools keep them in
+                # fp32 so the flush-time requantization reproduces the
+                # per-step path's codes exactly (bf16 rounding of q*scale
+                # would flip +-1 LSB vs writing the codes immediately)
                 side_rows0 = llama_mod.new_side_rows(
-                    cfg, B, num_steps, cfg.jax_dtype
+                    cfg, B, num_steps,
+                    jnp.float32 if cache.quantized else cfg.jax_dtype,
                 )
                 side_valid0 = jnp.zeros((B, num_steps), bool)
 

@@ -100,6 +100,12 @@ class DynamicBatchGenerator:
                 self._apply_stop_strings(out, arg)
         hs = None
         if arg.output_hidden_states:
+            if input_embeddings is not None or arg.session_continue:
+                raise ValueError(
+                    "output_hidden_states is unsupported with input_embeddings "
+                    "or session continuation (the recompute pass cannot see "
+                    "injected embeddings / prior-turn KV)"
+                )
             # exact recompute through the scoring path (one prefill-shaped
             # pass per output) — keeps hidden-state plumbing out of the
             # decode hot loop; reference fills them inside the decode step
@@ -170,7 +176,20 @@ class DynamicBatchGenerator:
                 for out in outs:
                     out.decode(self.tokenizer)
                     self._apply_stop_strings(out, t.arg)
-            results.append(RequestResult(prompt=p, outputs=outs, input_tokens_num=t.prompt_len))
+            hs = None
+            if t.arg.output_hidden_states:
+                hs = [
+                    self.model.executor.run_hidden(
+                        np.asarray(t.input_tokens + list(out.token_ids), np.int32)
+                    )
+                    for out in outs
+                ]
+            results.append(
+                RequestResult(
+                    prompt=p, outputs=outs, input_tokens_num=t.prompt_len,
+                    hidden_states=hs,
+                )
+            )
         return results
 
     # -- streaming ---------------------------------------------------------

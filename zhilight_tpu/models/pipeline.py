@@ -187,6 +187,8 @@ def _forward_pp(
             jnp.where(stage == pp - 1, x, jnp.zeros_like(x)), PP_AXIS
         )
         hidden = L._norm(params_l["final_norm"], cfg, x)
+        if mode == "hidden":
+            return hidden, cache_l
         if mode == "prefill":
             hidden = hidden[jnp.maximum(meta.q_len - 1, 0)]
         logits = L.get_logits(params_l, cfg, hidden)
@@ -244,3 +246,14 @@ class PPForwards:
             input_embeddings,
         )
         return cache
+
+    def forward_score(self, params, cfg, rope, tokens, meta, cache):
+        # full-sequence logits: prefill without the last-token slice
+        return _forward_pp(
+            params, cfg, rope, tokens, meta, cache, self.mesh, "score"
+        )
+
+    def forward_hidden(self, params, cfg, rope, tokens, meta, cache):
+        return _forward_pp(
+            params, cfg, rope, tokens, meta, cache, self.mesh, "hidden"
+        )

@@ -659,6 +659,24 @@ def write_rows_hm(
 # Decode-window side-buffer flush (window-batched KV writes)
 # ---------------------------------------------------------------------------
 
+def _side_page_runs(entry_pos, n_rows, page_tables, S):
+    """Split each slot's contiguous window rows into its <=2 page runs:
+    returns (starts1, lens1, starts2, lens2) pool-row scalars."""
+    maxp = page_tables.shape[1]
+    safe_tables = jnp.maximum(page_tables, 0)
+    pg1 = jnp.clip(entry_pos // S, 0, maxp - 1)
+    page1 = jnp.take_along_axis(safe_tables, pg1[:, None], axis=1)[:, 0]
+    off1 = entry_pos % S
+    starts1 = page1 * S + off1
+    lens1 = jnp.minimum(n_rows, S - off1)
+    p2 = entry_pos + lens1
+    pg2 = jnp.clip(p2 // S, 0, maxp - 1)
+    page2 = jnp.take_along_axis(safe_tables, pg2[:, None], axis=1)[:, 0]
+    starts2 = page2 * S
+    lens2 = jnp.maximum(n_rows - lens1, 0)
+    return starts1, lens1, starts2, lens2
+
+
 def _flush_side_kernel_hm(
     starts1_ref,  # [B] pool row of a slot's first window row; <0 => skip
     lens1_ref,    # [B] rows in the first page run
@@ -771,20 +789,11 @@ def flush_side_rows_hm(
     RMWs per slot per window."""
     B, Hkv, Kw, X = side.shape
     S = page_size
-    maxp = page_tables.shape[1]
     assert Kw <= S, "window rows must fit a page"
 
-    safe_tables = jnp.maximum(page_tables, 0)
-    pg1 = jnp.clip(entry_pos // S, 0, maxp - 1)
-    page1 = jnp.take_along_axis(safe_tables, pg1[:, None], axis=1)[:, 0]
-    off1 = entry_pos % S
-    starts1 = page1 * S + off1
-    lens1 = jnp.minimum(n_rows, S - off1)
-    p2 = entry_pos + lens1
-    pg2 = jnp.clip(p2 // S, 0, maxp - 1)
-    page2 = jnp.take_along_axis(safe_tables, pg2[:, None], axis=1)[:, 0]
-    starts2 = page2 * S
-    lens2 = jnp.maximum(n_rows - lens1, 0)
+    starts1, lens1, starts2, lens2 = _side_page_runs(
+        entry_pos, n_rows, page_tables, S
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -900,20 +909,11 @@ def flush_side_rows_2d(
     """flush_side_rows_hm for 2-D slot-major pools (MLA latent cache)."""
     B, Kw, X = side.shape
     S = page_size
-    maxp = page_tables.shape[1]
     assert Kw <= S, "window rows must fit a page"
 
-    safe_tables = jnp.maximum(page_tables, 0)
-    pg1 = jnp.clip(entry_pos // S, 0, maxp - 1)
-    page1 = jnp.take_along_axis(safe_tables, pg1[:, None], axis=1)[:, 0]
-    off1 = entry_pos % S
-    starts1 = page1 * S + off1
-    lens1 = jnp.minimum(n_rows, S - off1)
-    p2 = entry_pos + lens1
-    pg2 = jnp.clip(p2 // S, 0, maxp - 1)
-    page2 = jnp.take_along_axis(safe_tables, pg2[:, None], axis=1)[:, 0]
-    starts2 = page2 * S
-    lens2 = jnp.maximum(n_rows - lens1, 0)
+    starts1, lens1, starts2, lens2 = _side_page_runs(
+        entry_pos, n_rows, page_tables, S
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -222,8 +222,10 @@ def flush_side_rows_hm_sharded(
 
     f.def_partition(
         partition,
+        # 'b' must replicate: the output pool carries no batch dim, so a
+        # batch-sharded side buffer would flush only local slots per replica
         sharding_rule="h n x, b h k x, b, b, b m -> h n x",
-        need_replication_factors=("n", "x", "k", "m"),
+        need_replication_factors=("b", "n", "x", "k", "m"),
     )
     return f(pool, side, entry_pos, n_rows, page_tables)
 

@@ -337,3 +337,58 @@ def test_engine_window_e2e_mla_interpret():
     base = run({})
     side = run({"ZT_PALLAS_INTERPRET": "1"})
     assert base == side, f"{base} vs {side}"
+
+
+def test_engine_window_e2e_moe_interpret():
+    """MoE (qwen2-moe style shared+routed experts) through the window path
+    matches the default CPU engine — the side buffer only touches attention,
+    but this pins the full decoder-layer integration for MoE blocks."""
+    import os
+
+    from zhilight_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from zhilight_tpu.config.model_config import MoEConfig
+    from zhilight_tpu.engine import GeneratorArg
+    from zhilight_tpu.llm import LLM
+
+    cfg = ModelConfig(
+        model_type="qwen2_moe", num_layers=2, dim_model=HKV * G * D,
+        num_heads=HKV * G, dim_head=D, num_kv_heads=HKV, dim_ff=128,
+        vocab_size=128, dtype="float32",
+        moe=MoEConfig(
+            num_experts=4, top_k=2, intermediate_size=64,
+            shared_expert_intermediate_size=64, shared_expert_gate=True,
+            norm_topk_prob=True,
+        ),
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    ecfg = EngineConfig(
+        max_model_len=64,
+        cache=CacheConfig(page_size=16, num_pages=16),
+        scheduler=SchedulerConfig(
+            max_batch=2, chunk_size=16, prefill_buckets=(16,), eos_id=1,
+            decode_multi_step=4,
+        ),
+    )
+    rng = np.random.RandomState(8)
+    prompts = [list(rng.randint(2, 100, size=n)) for n in (10, 6)]
+
+    def run(env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            llm = LLM(model_config=cfg, params=jax.tree.map(lambda x: x, params),
+                      engine_config=ecfg)
+            with llm.generator() as g:
+                return [
+                    g.generate(p, GeneratorArg(max_length=8)).outputs[0].token_ids
+                    for p in prompts
+                ]
+        finally:
+            for k, v in old.items():
+                os.environ.pop(k, None)
+                if v is not None:
+                    os.environ[k] = v
+
+    base = run({})
+    side = run({"ZT_PALLAS_INTERPRET": "1"})
+    assert base == side, f"{base} vs {side}"

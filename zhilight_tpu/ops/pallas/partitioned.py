@@ -225,7 +225,7 @@ def flush_side_rows_hm_sharded(
         # 'b' must replicate: the output pool carries no batch dim, so a
         # batch-sharded side buffer would flush only local slots per replica
         sharding_rule="h n x, b h k x, b, b, b m -> h n x",
-        need_replication_factors=("b", "n", "x", "k", "m"),
+        need_replication_factors=("n", "x", "b", "k", "m"),  # first-appearance order
     )
     return f(pool, side, entry_pos, n_rows, page_tables)
 

@@ -40,6 +40,10 @@ class ServingMetrics:
             return
         self.gauge_running = Gauge("zhilight_requests_running", "running requests")
         self.gauge_waiting = Gauge("zhilight_requests_waiting", "queued requests")
+        self.gauge_preemptions = Gauge(
+            "zhilight_preemptions_total",
+            "cumulative scheduler preemptions (KV swap/recompute)",
+        )
         self.counter_prompt_tokens = Counter("zhilight_prompt_tokens_total", "prompt tokens")
         self.counter_gen_tokens = Counter("zhilight_generation_tokens_total", "generated tokens")
         self.hist_ttft = Histogram(
@@ -59,10 +63,11 @@ class ServingMetrics:
         )
         self._last_log = time.monotonic()
 
-    def observe_queue(self, running: int, waiting: int):
+    def observe_queue(self, running: int, waiting: int, preemptions: int = 0):
         if PROM:
             self.gauge_running.set(running)
             self.gauge_waiting.set(waiting)
+            self.gauge_preemptions.set(preemptions)
 
     def observe_request(self, prompt_tokens: int, output: "GenerativeOutput"):
         if not PROM:

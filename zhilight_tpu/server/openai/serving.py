@@ -150,4 +150,8 @@ class AsyncEngine:
 
     def stats(self):
         sched = self.gen.scheduler
-        return {"running": sched.active_size, "waiting": sched.queue_size()}
+        return {
+            "running": sched.active_size,
+            "waiting": sched.queue_size(),
+            "preemptions": sched.num_preemptions,
+        }

@@ -220,3 +220,72 @@ def test_window_partial_and_flush_partitioned():
     assert "all-gather" not in hlo2, "pool gathered around the flush kernel"
     np.testing.assert_allclose(got_part, want_part, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(got_pool, want_pool, rtol=1e-5, atol=1e-5)
+
+
+def test_mla_decode_and_flush_partitioned():
+    """MLA latent kernels under SPMD: the replicated-pool decode (normal +
+    partial) and 2-D flush run per shard with batch/head sharding and no
+    pool gather, matching the unsharded interpret kernels."""
+    from zhilight_tpu.ops.pallas.kv_write import flush_side_rows_2d
+    from zhilight_tpu.ops.pallas.paged_attention import paged_mla_decode
+    from zhilight_tpu.ops.pallas.partitioned import (
+        flush_side_rows_2d_sharded,
+        paged_mla_decode_sharded,
+        write_rows_2d_sharded,
+    )
+
+    mesh = _mesh()
+    rng = np.random.RandomState(2)
+    B, H, stored, v_dim, Pg, maxp, Kw = 8, 16, 256, 128, 16, 4, 6
+    q = rng.randn(B, H, stored).astype(np.float32)
+    pool = rng.randn(Pg * S, stored).astype(np.float32)
+    side = rng.randn(B, Kw, stored).astype(np.float32)
+    ctx = rng.randint(1, maxp * S - Kw, size=B).astype(np.int32)
+    n_rows = rng.randint(0, Kw + 1, size=B).astype(np.int32)
+    pt = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp) % Pg
+    # make each slot's pages unique (flush correctness needs disjoint pages)
+    pt = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp)
+    pool = rng.randn(B * maxp * S, stored).astype(np.float32)
+    scale = 0.1
+
+    want_dec = np.asarray(paged_mla_decode(
+        jnp.asarray(q), jnp.asarray(pool), jnp.asarray(pt), jnp.asarray(ctx),
+        S, scale, v_dim=v_dim, interpret=True,
+    ))
+    want_pool = np.asarray(flush_side_rows_2d(
+        jnp.asarray(pool), jnp.asarray(side), jnp.asarray(ctx),
+        jnp.asarray(n_rows), jnp.asarray(pt), S, interpret=True,
+    ))
+
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        rep = NamedSharding(mesh, P())
+        # attention-DP: batch sharded, pool replicated
+        q_d = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("tp", None, None)))
+        pool_d = jax.device_put(jnp.asarray(pool), rep)
+        side_d = jax.device_put(jnp.asarray(side), rep)
+        pt_d = jax.device_put(jnp.asarray(pt), NamedSharding(mesh, P("tp", None)))
+        ctx_d = jax.device_put(jnp.asarray(ctx), NamedSharding(mesh, P("tp")))
+        nr_d = jax.device_put(jnp.asarray(n_rows), rep)
+        ctx_rep = jax.device_put(jnp.asarray(ctx), rep)
+        pt_rep = jax.device_put(jnp.asarray(pt), rep)
+
+        f1 = jax.jit(
+            lambda q, pool, pt, cl: paged_mla_decode_sharded(
+                q, pool, pt, cl, S, scale, v_dim, interpret=True
+            )
+        )
+        hlo1 = f1.lower(q_d, pool_d, pt_d, ctx_d).compile().as_text()
+        got_dec = np.asarray(jax.device_get(f1(q_d, pool_d, pt_d, ctx_d)))
+
+        f2 = jax.jit(
+            lambda pool, side, ep, nr, pt: flush_side_rows_2d_sharded(
+                pool, side, ep, nr, pt, S, interpret=True
+            )
+        )
+        got_pool = np.asarray(
+            jax.device_get(f2(pool_d, side_d, ctx_rep, nr_d, pt_rep))
+        )
+
+    assert "all-gather" not in hlo1, "latent pool gathered around the kernel"
+    np.testing.assert_allclose(got_dec, want_dec, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_pool, want_pool, rtol=1e-5, atol=1e-5)

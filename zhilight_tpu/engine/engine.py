@@ -401,14 +401,10 @@ class ModelExecutor:
         # GQA multi-device meshes route the partial + flush kernels through
         # their custom_partitioning wrappers (ops/pallas/partitioned.py)
         from ..models.llama import _pallas_interpret, _use_pallas_decode
-        from ..parallel import kernel_partitioning_enabled
 
         if self.cfg.mla.enabled:
             from ..models.mla import _use_pallas_mla
 
-            if kernel_partitioning_enabled():
-                # no sharded wrappers for the latent partial/flush yet
-                return False
             return _use_pallas_mla() or _pallas_interpret()
         if not cache.packed:
             return False

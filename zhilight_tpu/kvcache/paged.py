@@ -354,9 +354,14 @@ def write_latent(
     if pad:
         latent_new = jnp.pad(latent_new, ((0, 0), (0, pad)))
     if _pallas_writes_on() and arr.shape[1] % 128 == 0:
-        from ..ops.pallas.kv_write import write_rows_2d
+        from ..parallel import kernel_partitioning_enabled
 
-        lat = write_rows_2d(arr, latent_new, slot_mapping, cache.page_size)
+        if kernel_partitioning_enabled():
+            from ..ops.pallas.partitioned import write_rows_2d_sharded as _w2d
+        else:
+            from ..ops.pallas.kv_write import write_rows_2d as _w2d
+
+        lat = _w2d(arr, latent_new, slot_mapping, cache.page_size)
         return cache.set_layer(layer, latent=lat)
 
     idx = jnp.where(slot_mapping >= 0, slot_mapping, cache.num_slots)

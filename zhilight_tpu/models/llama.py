@@ -675,7 +675,12 @@ def flush_window_rows(
     n_rows = jnp.sum(side_valid.astype(jnp.int32), axis=1)
 
     if cfg.mla.enabled:
-        from ..ops.pallas.kv_write import flush_side_rows_2d
+        if kernel_partitioning_enabled():
+            from ..ops.pallas.partitioned import (
+                flush_side_rows_2d_sharded as flush_side_rows_2d,
+            )
+        else:
+            from ..ops.pallas.kv_write import flush_side_rows_2d
 
         for i in range(cfg.num_layers):
             pool = flush_side_rows_2d(

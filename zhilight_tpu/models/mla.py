@@ -220,10 +220,21 @@ def _side_window_mla(
     )
 
     q_eff = _q_eff(q_nope, q_pe, w_uk)  # [B, H, k_dim]
-    partial = paged_mla_decode(
-        q_eff, pool, meta.page_tables, side["pool_lens"], cache.page_size,
-        scale, v_dim=v_dim, interpret=_pallas_interpret(), emit_partial=True,
-    )  # [B, H, 128 + v_dim] fp32
+    from ..parallel import kernel_partitioning_enabled
+
+    if kernel_partitioning_enabled():
+        from ..ops.pallas.partitioned import paged_mla_decode_sharded
+
+        partial = paged_mla_decode_sharded(
+            _pad_to(q_eff, pool.shape[-1]), pool, meta.page_tables,
+            side["pool_lens"], cache.page_size, scale, v_dim,
+            interpret=_pallas_interpret(), emit_partial=True,
+        )
+    else:
+        partial = paged_mla_decode(
+            q_eff, pool, meta.page_tables, side["pool_lens"], cache.page_size,
+            scale, v_dim=v_dim, interpret=_pallas_interpret(), emit_partial=True,
+        )  # [B, H, 128 + v_dim] fp32
     m_pool = jnp.maximum(partial[..., 0:1], NEG)
     l_pool = partial[..., 1:2]
     acc_pool = partial[..., 128:]
@@ -252,20 +263,40 @@ def _side_window_mla(
     return out, rows
 
 
+def _pad_to(x, stored):
+    if x.shape[-1] < stored:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, stored - x.shape[-1])]
+        return jnp.pad(x, pad)
+    return x
+
+
 def _mla_decode_pallas(q_nope, q_pe, cache, layer_idx, w_uk, w_uv, meta, scale, m):
     """Absorbed latent MQA through the Pallas paged kernel
-    (ops/pallas/paged_attention.paged_mla_decode)."""
+    (ops/pallas/paged_attention.paged_mla_decode); on multi-device meshes the
+    custom_partitioning wrapper keeps the replicated-pool kernel local to
+    each (batch/head-sharded) shard."""
+    from ..parallel import kernel_partitioning_enabled
     from ..ops.pallas.paged_attention import paged_mla_decode
 
-    out_latent = paged_mla_decode(
-        _q_eff(q_nope, q_pe, w_uk),
-        cache.latent[layer_idx],
-        meta.page_tables,
-        meta.context_lens,
-        cache.page_size,
-        scale,
-        v_dim=m.kv_lora_rank,
-    )
+    pool = cache.latent[layer_idx]
+    if kernel_partitioning_enabled():
+        from ..ops.pallas.partitioned import paged_mla_decode_sharded
+
+        out_latent = paged_mla_decode_sharded(
+            _pad_to(_q_eff(q_nope, q_pe, w_uk), pool.shape[-1]), pool,
+            meta.page_tables, meta.context_lens, cache.page_size, scale,
+            m.kv_lora_rank,
+        )
+    else:
+        out_latent = paged_mla_decode(
+            _q_eff(q_nope, q_pe, w_uk),
+            pool,
+            meta.page_tables,
+            meta.context_lens,
+            cache.page_size,
+            scale,
+            v_dim=m.kv_lora_rank,
+        )
     return jnp.einsum(
         "bhl,lhv->bhv", out_latent.astype(jnp.float32), w_uv.astype(jnp.float32),
         preferred_element_type=jnp.float32,

@@ -35,6 +35,9 @@ __all__ = [
     "paged_prefill_attention_hm_sharded",
     "write_rows_hm_sharded",
     "flush_side_rows_hm_sharded",
+    "paged_mla_decode_sharded",
+    "write_rows_2d_sharded",
+    "flush_side_rows_2d_sharded",
 ]
 
 
@@ -257,3 +260,86 @@ def paged_decode_attention_hm_q_partial_sharded(
         need_replication_factors=("d", "n", "x", "m"),
     )
     return f(q, kv_pool, k_scales, v_scales, page_tables, pool_lens)
+
+
+def paged_mla_decode_sharded(
+    q_eff, latent_pool, page_tables, context_lens, page_size, scale, v_dim,
+    interpret=False, emit_partial=False,
+):
+    """paged_mla_decode with an SPMD rule: the single latent pool is
+    replicated, so batch (attention-DP) and the absorbed q-head dim both
+    shard freely — each shard attends its local rows/heads over its pool
+    replica (reference ATTN_DATA_PARALLEL batch slicing)."""
+    from .paged_attention import paged_mla_decode
+
+    def _impl(q, pool, pt, cl):
+        return paged_mla_decode(
+            q, pool, pt, cl, page_size, scale, v_dim=v_dim,
+            interpret=interpret, emit_partial=emit_partial,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, pt, cl):
+            return _impl(q, pool, pt, cl)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    f.def_partition(
+        partition,
+        sharding_rule="b h s, n s, b m, b -> b h v",
+        need_replication_factors=("s", "n", "m", "v"),
+    )
+    return f(q_eff, latent_pool, page_tables, context_lens)
+
+
+def write_rows_2d_sharded(pool, rows, slot_mapping, page_size, interpret=False):
+    """write_rows_2d with an SPMD rule: the 2-D (latent) pool is replicated,
+    so every shard applies the identical row writes to its replica."""
+    from .kv_write import write_rows_2d
+
+    def _impl(pool, rows, slots):
+        return write_rows_2d(pool, rows, slots, page_size, interpret=interpret)
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(pool, rows, slots):
+            return _impl(pool, rows, slots)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    f.def_partition(
+        partition,
+        sharding_rule="n x, t x, t -> n x",
+        need_replication_factors=("n", "x", "t"),
+    )
+    return f(pool, rows, slot_mapping)
+
+
+def flush_side_rows_2d_sharded(
+    pool, side, entry_pos, n_rows, page_tables, page_size, interpret=False,
+):
+    """flush_side_rows_2d with an SPMD rule: replicated latent pool, so the
+    side buffer replicates too and every shard flushes identically."""
+    from .kv_write import flush_side_rows_2d
+
+    def _impl(pool, side, ep, nr, pt):
+        return flush_side_rows_2d(pool, side, ep, nr, pt, page_size,
+                                  interpret=interpret)
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(pool, side, ep, nr, pt):
+            return _impl(pool, side, ep, nr, pt)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    f.def_partition(
+        partition,
+        sharding_rule="n x, b k x, b, b, b m -> n x",
+        need_replication_factors=("n", "x", "b", "k", "m"),
+    )
+    return f(pool, side, entry_pos, n_rows, page_tables)

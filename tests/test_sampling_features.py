@@ -192,3 +192,51 @@ def test_record_prompt_longer_than_largest_bucket(llm):
     ex.record_prompt(1, tokens[: cap // 2])
     counts = np.asarray(ex.sampler_state.token_counts[1])
     np.testing.assert_array_equal(counts, np.bincount(tokens[: cap // 2], minlength=VOCAB))
+
+
+def test_min_p_masks_low_probability_tokens():
+    """min_p drops tokens below min_p * p_max (the reference protocol
+    carries min_p but its engine ignores it; here it is honored, sort-free:
+    l < l_max + ln(min_p))."""
+    from zhilight_tpu.ops.sampling import (
+        SamplingParams, new_sampler_state, sample_step,
+    )
+
+    B, V = 4, 32
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(B, V).astype(np.float32) * 3)
+    state = new_sampler_state(B, V)
+    base = SamplingParams.greedy(B)
+
+    # min_p=1.0 keeps only the argmax: sampling must equal greedy
+    p = SamplingParams(
+        temperature=jnp.ones(B), top_p=jnp.ones(B),
+        top_k=jnp.zeros(B, jnp.int32), min_p=jnp.ones(B),
+        repetition_penalty=base.repetition_penalty,
+        presence_penalty=base.presence_penalty,
+        frequency_penalty=base.frequency_penalty,
+        seed=jnp.arange(B, dtype=jnp.int32),
+    )
+    for trial in range(3):
+        tok, _, _, _, state2 = sample_step(
+            logits, state, p, jax.random.PRNGKey(trial)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tok), np.asarray(jnp.argmax(logits, -1))
+        )
+
+    # min_p=0 leaves sampling unrestricted (sanity: can differ from greedy)
+    p0 = SamplingParams(
+        temperature=jnp.ones(B) * 5.0, top_p=jnp.ones(B),
+        top_k=jnp.zeros(B, jnp.int32), min_p=jnp.zeros(B),
+        repetition_penalty=base.repetition_penalty,
+        presence_penalty=base.presence_penalty,
+        frequency_penalty=base.frequency_penalty,
+        seed=jnp.arange(B, dtype=jnp.int32),
+    )
+    toks = set()
+    st = state
+    for trial in range(8):
+        tok, _, _, _, st = sample_step(logits, st, p0, jax.random.PRNGKey(trial))
+        toks.update(np.asarray(tok).tolist())
+    assert len(toks) > B  # high temperature explores beyond the argmaxes

@@ -754,6 +754,7 @@ class ModelExecutor:
                     temperature=jnp.zeros(B, jnp.float32),
                     top_p=jnp.ones(B, jnp.float32),
                     top_k=jnp.zeros(B, jnp.int32),
+                    min_p=jnp.zeros(B, jnp.float32),
                     repetition_penalty=jnp.ones(B, jnp.float32),
                     presence_penalty=jnp.zeros(B, jnp.float32),
                     frequency_penalty=jnp.zeros(B, jnp.float32),

@@ -89,6 +89,7 @@ class Scheduler:
             "temperature": np.zeros(self.max_batch, np.float32),
             "top_p": np.ones(self.max_batch, np.float32),
             "top_k": np.zeros(self.max_batch, np.int32),
+            "min_p": np.zeros(self.max_batch, np.float32),
             "repetition_penalty": np.ones(self.max_batch, np.float32),
             "presence_penalty": np.zeros(self.max_batch, np.float32),
             "frequency_penalty": np.zeros(self.max_batch, np.float32),
@@ -491,6 +492,7 @@ class Scheduler:
         sp["temperature"][slot] = a.sampling_temperature
         sp["top_p"][slot] = a.top_p
         sp["top_k"][slot] = a.top_k
+        sp["min_p"][slot] = a.min_p
         # ngram tasks get the combined host-side penalty map (which already
         # multiplies in repetition_penalty); disable the count-based path
         sp["repetition_penalty"][slot] = (

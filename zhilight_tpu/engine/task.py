@@ -46,6 +46,7 @@ class GeneratorArg:
     seed: int = 0
     temperature: float = 1.0
     num_results: int = 1
+    min_p: float = 0.0
     top_p: float = 1.0
     top_k: int = 0
     presence_penalty: float = 0.0
@@ -79,7 +80,7 @@ class GeneratorArg:
 
     @property
     def is_random(self) -> bool:
-        return self.top_p < 1.0 or self.top_k > 0
+        return self.top_p < 1.0 or self.top_k > 0 or self.min_p > 0.0
 
     @property
     def sampling_temperature(self) -> float:

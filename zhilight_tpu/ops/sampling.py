@@ -34,6 +34,7 @@ class SamplingParams:
     temperature: jax.Array   # [B] f32; 0 => greedy
     top_p: jax.Array         # [B] f32 in (0, 1]
     top_k: jax.Array         # [B] int32; 0 => disabled
+    min_p: jax.Array         # [B] f32; 0 => disabled (scaled by top prob)
     repetition_penalty: jax.Array  # [B] f32; 1 => off
     presence_penalty: jax.Array    # [B] f32; 0 => off
     frequency_penalty: jax.Array   # [B] f32; 0 => off
@@ -45,6 +46,7 @@ class SamplingParams:
                 self.temperature,
                 self.top_p,
                 self.top_k,
+                self.min_p,
                 self.repetition_penalty,
                 self.presence_penalty,
                 self.frequency_penalty,
@@ -64,6 +66,7 @@ class SamplingParams:
             temperature=z,
             top_p=jnp.ones((batch,), jnp.float32),
             top_k=jnp.zeros((batch,), jnp.int32),
+            min_p=z,
             repetition_penalty=jnp.ones((batch,), jnp.float32),
             presence_penalty=z,
             frequency_penalty=z,
@@ -233,6 +236,13 @@ def sample_step(
         temp = jnp.where(greedy, 1.0, jnp.maximum(p.temperature, 1e-6))
         scaled = logits / temp[:, None]
         mask = _top_k_top_p_mask(scaled, p.top_k, p.top_p)
+        # min_p: drop tokens with prob < min_p * p_max — in logit space,
+        # l < l_max + ln(min_p) (sort-free, exact; the reference protocol
+        # carries min_p but its engine ignores it)
+        lmax = jnp.max(scaled, axis=-1, keepdims=True)
+        minp = jnp.clip(p.min_p, 0.0, 1.0)[:, None]
+        cut = lmax + jnp.log(jnp.maximum(minp, 1e-30))
+        mask = mask & ((scaled >= cut) | (minp <= 0.0))
         masked = jnp.where(mask, scaled, NEG_INF)
 
         # per-slot deterministic stream: fold (seed, step) into the engine key

@@ -66,6 +66,7 @@ class _SamplingFields(BaseModel):
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    min_p: float = 0.0
     n: int = 1
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0

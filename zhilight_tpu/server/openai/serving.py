@@ -44,6 +44,7 @@ def arg_from_request(req: Union[ChatCompletionRequest, CompletionRequest], max_m
         temperature=req.temperature,
         top_p=req.top_p,
         top_k=req.top_k,
+        min_p=req.min_p,
         presence_penalty=req.presence_penalty,
         frequency_penalty=req.frequency_penalty,
         repetition_penalty=req.repetition_penalty,

@@ -59,6 +59,21 @@ logger = logging.getLogger(__name__)
 __all__ = ["build_app", "main"]
 
 
+async def _generate_n(engine, tokens, arg, n: int):
+    """n independent samples for one prompt (OpenAI ``n``; reference maps it
+    through its vLLM-derived SamplingParams): concurrent tasks with distinct
+    seeds so the continuous-batching scheduler packs them together."""
+    if n == 1:
+        return [await engine.generate(tokens, arg)]
+    import dataclasses
+
+    base_seed = arg.seed or 42
+    args = [dataclasses.replace(arg, seed=base_seed + i) for i in range(n)]
+    return list(
+        await asyncio.gather(*(engine.generate(tokens, a) for a in args))
+    )
+
+
 def _error(status: int, message: str) -> web.Response:
     return web.json_response(
         ErrorResponse(message=message, code=status).model_dump(), status=status
@@ -113,20 +128,24 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
         if len(tokens) >= engine.max_model_len:
             return _error(400, "prompt too long")
         arg = arg_from_request(req, engine.max_model_len)
+        n = max(req.n or 1, 1)
         if req.stream:
+            if n > 1:
+                return _error(400, "streaming supports n=1")
             return await _stream_chat(request, req, tokens, arg)
 
-        out = await engine.generate(tokens, arg)
-        parser = ReasoningParser(enabled=enable_reasoning)
-        reasoning, content = parser.feed(out.text)
-        r2, c2 = parser.flush()
-        reasoning += r2
-        content += c2
-        resp = ChatCompletionResponse(
-            model=req.model or served_model,
-            choices=[
+        outs = await _generate_n(engine, tokens, arg, n)
+        choices = []
+        completion_tokens = 0
+        for i, out in enumerate(outs):
+            parser = ReasoningParser(enabled=enable_reasoning)
+            reasoning, content = parser.feed(out.text)
+            r2, c2 = parser.flush()
+            reasoning += r2
+            content += c2
+            choices.append(
                 ChatCompletionChoice(
-                    index=0,
+                    index=i,
                     message=ChatMessage(
                         role="assistant",
                         content=content,
@@ -134,14 +153,18 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
                     ),
                     finish_reason=out.finish_reason,
                 )
-            ],
+            )
+            completion_tokens += out.output_tokens_num
+            metrics.observe_request(len(tokens), out)
+        resp = ChatCompletionResponse(
+            model=req.model or served_model,
+            choices=choices,
             usage=UsageInfo(
                 prompt_tokens=len(tokens),
-                completion_tokens=out.output_tokens_num,
-                total_tokens=len(tokens) + out.output_tokens_num,
+                completion_tokens=completion_tokens,
+                total_tokens=len(tokens) + completion_tokens,
             ),
         )
-        metrics.observe_request(len(tokens), out)
         return web.json_response(resp.model_dump(exclude_none=True))
 
     async def _stream_chat(request, req, tokens, arg):
@@ -231,24 +254,28 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
             return await _stream_completion(request, req, engine.encode_prompt(prompts[0]), arg0)
         choices = []
         usage = UsageInfo()
-        for i, p in enumerate(prompts):
+        n = max(req.n or 1, 1)
+        idx = 0
+        for p in prompts:
             tokens = engine.encode_prompt(p)
             if len(tokens) >= engine.max_model_len:
                 return _error(400, "prompt too long")
-            out = await engine.generate(tokens, arg0)
-            text = out.text
-            if req.echo and isinstance(p, str):
-                text = p + text
-            choices.append(
-                CompletionChoice(
-                    index=i,
-                    text=text,
-                    finish_reason=out.finish_reason,
+            outs = await _generate_n(engine, tokens, arg0, n)
+            for out in outs:
+                text = out.text
+                if req.echo and isinstance(p, str):
+                    text = p + text
+                choices.append(
+                    CompletionChoice(
+                        index=idx,
+                        text=text,
+                        finish_reason=out.finish_reason,
+                    )
                 )
-            )
+                idx += 1
+                usage.completion_tokens += out.output_tokens_num
+                metrics.observe_request(len(tokens), out)
             usage.prompt_tokens += len(tokens)
-            usage.completion_tokens += out.output_tokens_num
-            metrics.observe_request(len(tokens), out)
         usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
         resp = CompletionResponse(model=req.model or served_model, choices=choices, usage=usage)
         return web.json_response(resp.model_dump(exclude_none=True))

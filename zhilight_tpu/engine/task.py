@@ -237,6 +237,7 @@ class SearchTask:
             score=self.cumulative_logprob,
             time_elapsed=elapsed,
             first_token_delay=first_delay,
+            logprobs=list(self.logprobs) or None,
             top_logprobs=list(self.top_logprobs) or None,
             finish_reason=self.finish_reason or "length",
         )
@@ -250,6 +251,9 @@ class GenerativeOutput:
     score: float
     time_elapsed: float
     first_token_delay: float = 0.0
+    # per-token chosen logprob + top-k alternatives (reference
+    # GenerativeOutput.top_logprobs / print_top_logprobs)
+    logprobs: Optional[List[float]] = None
     top_logprobs: Optional[List[Dict[int, float]]] = None
     text: str = ""
     finish_reason: str = "length"

@@ -59,6 +59,40 @@ logger = logging.getLogger(__name__)
 __all__ = ["build_app", "main"]
 
 
+def _choice_logprobs(tokenizer, out):
+    """OpenAI-format per-token logprobs from the engine's device-sampled
+    chosen/top logprobs."""
+    from .protocol import ChoiceLogProbs, LogProbEntry
+
+    if not out.logprobs and not out.top_logprobs:
+        return None
+    entries = []
+    for i, tid in enumerate(out.token_ids):
+        tok = tokenizer.decode([tid])
+        lp = (
+            out.logprobs[i]
+            if out.logprobs and i < len(out.logprobs)
+            else 0.0
+        )
+        tops = (
+            out.top_logprobs[i]
+            if out.top_logprobs and i < len(out.top_logprobs)
+            else {}
+        )
+        entries.append(
+            LogProbEntry(
+                token=tok,
+                logprob=float(lp),
+                bytes=list(tok.encode("utf-8", errors="replace")),
+                top_logprobs=[
+                    {"token": tokenizer.decode([t]), "logprob": float(v)}
+                    for t, v in tops.items()
+                ],
+            )
+        )
+    return ChoiceLogProbs(content=entries)
+
+
 async def _generate_n(engine, tokens, arg, n: int):
     """n independent samples for one prompt (OpenAI ``n``; reference maps it
     through its vLLM-derived SamplingParams): concurrent tasks with distinct
@@ -150,6 +184,11 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
                         role="assistant",
                         content=content,
                         reasoning_content=reasoning or None,
+                    ),
+                    logprobs=(
+                        _choice_logprobs(engine.tokenizer, out)
+                        if req.logprobs
+                        else None
                     ),
                     finish_reason=out.finish_reason,
                 )
@@ -269,6 +308,11 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
                     CompletionChoice(
                         index=idx,
                         text=text,
+                        logprobs=(
+                            _choice_logprobs(engine.tokenizer, out)
+                            if req.logprobs
+                            else None
+                        ),
                         finish_reason=out.finish_reason,
                     )
                 )

@@ -93,19 +93,24 @@ def _choice_logprobs(tokenizer, out):
     return ChoiceLogProbs(content=entries)
 
 
-async def _generate_n(engine, tokens, arg, n: int):
-    """n independent samples for one prompt (OpenAI ``n``; reference maps it
-    through its vLLM-derived SamplingParams): concurrent tasks with distinct
-    seeds so the continuous-batching scheduler packs them together."""
-    if n == 1:
+async def _generate_n(engine, tokens, arg, n: int, best_of: Optional[int] = None):
+    """n independent samples for one prompt (OpenAI ``n``/``best_of``;
+    reference maps them through its vLLM-derived SamplingParams): concurrent
+    tasks with distinct seeds so the continuous-batching scheduler packs
+    them together; with best_of > n the top n by cumulative logprob return."""
+    m = max(best_of or n, n)
+    if m == 1:
         return [await engine.generate(tokens, arg)]
     import dataclasses
 
     base_seed = arg.seed or 42
-    args = [dataclasses.replace(arg, seed=base_seed + i) for i in range(n)]
-    return list(
+    args = [dataclasses.replace(arg, seed=base_seed + i) for i in range(m)]
+    outs = list(
         await asyncio.gather(*(engine.generate(tokens, a) for a in args))
     )
+    if m > n:
+        outs = sorted(outs, key=lambda o: -o.score)[:n]
+    return outs
 
 
 def _error(status: int, message: str) -> web.Response:
@@ -168,7 +173,7 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
                 return _error(400, "streaming supports n=1")
             return await _stream_chat(request, req, tokens, arg)
 
-        outs = await _generate_n(engine, tokens, arg, n)
+        outs = await _generate_n(engine, tokens, arg, n, req.best_of)
         choices = []
         completion_tokens = 0
         for i, out in enumerate(outs):
@@ -299,7 +304,7 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
             tokens = engine.encode_prompt(p)
             if len(tokens) >= engine.max_model_len:
                 return _error(400, "prompt too long")
-            outs = await _generate_n(engine, tokens, arg0, n)
+            outs = await _generate_n(engine, tokens, arg0, n, req.best_of)
             for out in outs:
                 text = out.text
                 if req.echo and isinstance(p, str):

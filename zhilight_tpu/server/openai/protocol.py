@@ -68,6 +68,7 @@ class _SamplingFields(BaseModel):
     top_k: int = 0
     min_p: float = 0.0
     n: int = 1
+    best_of: Optional[int] = None
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0

@@ -169,8 +169,6 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
         arg = arg_from_request(req, engine.max_model_len)
         n = max(req.n or 1, 1)
         if req.stream:
-            if n > 1:
-                return _error(400, "streaming supports n=1")
             return await _stream_chat(request, req, tokens, arg)
 
         outs = await _generate_n(engine, tokens, arg, n, req.best_of)
@@ -212,6 +210,7 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
         return web.json_response(resp.model_dump(exclude_none=True))
 
     async def _stream_chat(request, req, tokens, arg):
+        n = max(req.n or 1, 1)
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -220,8 +219,7 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
             }
         )
         await resp.prepare(request)
-        rid = None
-        parser = ReasoningParser(enabled=enable_reasoning)
+        parsers = [ReasoningParser(enabled=enable_reasoning) for _ in range(n)]
 
         async def send(chunk: ChatCompletionStreamResponse):
             await resp.write(
@@ -231,56 +229,82 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
         first = ChatCompletionStreamResponse(
             model=req.model or served_model,
             choices=[
-                ChatCompletionStreamChoice(index=0, delta=DeltaMessage(role="assistant"))
+                ChatCompletionStreamChoice(index=i, delta=DeltaMessage(role="assistant"))
+                for i in range(n)
             ],
         )
         rid = first.id
         await send(first)
-        final_out = None
-        async for text, out in engine.generate_stream(tokens, arg):
-            if out is not None:
-                final_out = out
-                break
-            reasoning, content = parser.feed(text)
-            if reasoning or content:
-                chunk = ChatCompletionStreamResponse(
-                    id=rid,
-                    model=req.model or served_model,
-                    choices=[
-                        ChatCompletionStreamChoice(
-                            index=0,
-                            delta=DeltaMessage(
-                                content=content or None,
-                                reasoning_content=reasoning or None,
-                            ),
-                        )
-                    ],
-                )
-                await send(chunk)
-        reasoning, content = parser.flush()
-        done = ChatCompletionStreamResponse(
-            id=rid,
-            model=req.model or served_model,
-            choices=[
-                ChatCompletionStreamChoice(
-                    index=0,
-                    delta=DeltaMessage(
-                        content=content or None, reasoning_content=reasoning or None
-                    ),
-                    finish_reason=final_out.finish_reason if final_out else "stop",
-                )
-            ],
-            usage=UsageInfo(
-                prompt_tokens=len(tokens),
-                completion_tokens=final_out.output_tokens_num if final_out else 0,
-                total_tokens=len(tokens)
-                + (final_out.output_tokens_num if final_out else 0),
-            ),
+
+        import dataclasses
+
+        base_seed = arg.seed or 42
+        args = (
+            [arg]
+            if n == 1
+            else [dataclasses.replace(arg, seed=base_seed + i) for i in range(n)]
         )
-        await send(done)
+        q: asyncio.Queue = asyncio.Queue()
+
+        async def drive(i, a):
+            try:
+                async for text, out in engine.generate_stream(tokens, a):
+                    await q.put((i, text, out, None))
+            except BaseException as e:  # surfaced on the main loop
+                await q.put((i, "", None, e))
+
+        drivers = [asyncio.create_task(drive(i, a)) for i, a in enumerate(args)]
+        finals = {}
+        try:
+            while len(finals) < n:
+                i, text, out, err = await q.get()
+                if err is not None:
+                    raise err
+                if out is not None:
+                    finals[i] = out
+                    reasoning, content = parsers[i].flush()
+                    last = len(finals) == n
+                    total = sum(o.output_tokens_num for o in finals.values())
+                    await send(ChatCompletionStreamResponse(
+                        id=rid,
+                        model=req.model or served_model,
+                        choices=[
+                            ChatCompletionStreamChoice(
+                                index=i,
+                                delta=DeltaMessage(
+                                    content=content or None,
+                                    reasoning_content=reasoning or None,
+                                ),
+                                finish_reason=out.finish_reason,
+                            )
+                        ],
+                        usage=UsageInfo(
+                            prompt_tokens=len(tokens),
+                            completion_tokens=total,
+                            total_tokens=len(tokens) + total,
+                        ) if last else None,
+                    ))
+                    metrics.observe_request(len(tokens), out)
+                else:
+                    reasoning, content = parsers[i].feed(text)
+                    if reasoning or content:
+                        await send(ChatCompletionStreamResponse(
+                            id=rid,
+                            model=req.model or served_model,
+                            choices=[
+                                ChatCompletionStreamChoice(
+                                    index=i,
+                                    delta=DeltaMessage(
+                                        content=content or None,
+                                        reasoning_content=reasoning or None,
+                                    ),
+                                )
+                            ],
+                        ))
+        finally:
+            for d in drivers:
+                d.cancel()
         await resp.write(b"data: [DONE]\n\n")
-        if final_out:
-            metrics.observe_request(len(tokens), final_out)
         await resp.write_eof()
         return resp
 

@@ -354,28 +354,56 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
         return web.json_response(resp.model_dump(exclude_none=True))
 
     async def _stream_completion(request, req, tokens, arg):
+        n = max(req.n or 1, 1)
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
         )
         await resp.prepare(request)
-        final_out = None
+
+        import dataclasses
+
+        base_seed = arg.seed or 42
+        args = (
+            [arg]
+            if n == 1
+            else [dataclasses.replace(arg, seed=base_seed + i) for i in range(n)]
+        )
+        q: asyncio.Queue = asyncio.Queue()
+
+        async def drive(i, a):
+            try:
+                async for text, out in engine.generate_stream(tokens, a):
+                    await q.put((i, text, out, None))
+            except BaseException as e:
+                await q.put((i, "", None, e))
+
+        drivers = [asyncio.create_task(drive(i, a)) for i, a in enumerate(args)]
         cid = None
-        async for text, out in engine.generate_stream(tokens, arg):
-            if out is not None:
-                final_out = out
-                break
-            chunk = CompletionResponse(
-                model=req.model or served_model,
-                choices=[CompletionChoice(index=0, text=text)],
-            )
-            chunk.object = "text_completion"
-            if cid is None:
-                cid = chunk.id
-            chunk.id = cid
-            await resp.write(f"data: {json.dumps(chunk.model_dump(exclude_none=True))}\n\n".encode())
+        finals = {}
+        try:
+            while len(finals) < n:
+                i, text, out, err = await q.get()
+                if err is not None:
+                    raise err
+                if out is not None:
+                    finals[i] = out
+                    metrics.observe_request(len(tokens), out)
+                    continue
+                chunk = CompletionResponse(
+                    model=req.model or served_model,
+                    choices=[CompletionChoice(index=i, text=text)],
+                )
+                chunk.object = "text_completion"
+                if cid is None:
+                    cid = chunk.id
+                chunk.id = cid
+                await resp.write(
+                    f"data: {json.dumps(chunk.model_dump(exclude_none=True))}\n\n".encode()
+                )
+        finally:
+            for d in drivers:
+                d.cancel()
         await resp.write(b"data: [DONE]\n\n")
-        if final_out:
-            metrics.observe_request(len(tokens), final_out)
         await resp.write_eof()
         return resp
 

@@ -37,6 +37,9 @@ from ...engine.generator import DynamicBatchGenerator
 from .metrics import ServingMetrics
 from .protocol import (
     ChatCompletionRequest,
+    EmbeddingData,
+    EmbeddingRequest,
+    EmbeddingResponse,
     ChatCompletionResponse,
     ChatCompletionChoice,
     ChatCompletionStreamChoice,
@@ -412,8 +415,39 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
     app.router.add_get("/v1/models", models)
     app.router.add_get("/metrics", prom_metrics)
     app.router.add_get("/v1/options", options)
+    # -- embeddings (beyond reference parity: mean-pooled last hidden) --
+    async def embeddings(request: web.Request):
+        try:
+            req = EmbeddingRequest(**await request.json())
+        except Exception as e:
+            return _error(400, f"bad request: {e}")
+        raw = req.input
+        if isinstance(raw, str) or (raw and isinstance(raw[0], int)):
+            items = [raw]
+        else:
+            items = list(raw)
+        loop = asyncio.get_running_loop()
+        data = []
+        usage = UsageInfo()
+        for i, item in enumerate(items):
+            tokens = engine.encode_prompt(item)
+            if len(tokens) >= engine.max_model_len:
+                return _error(400, "input too long")
+            hs = await loop.run_in_executor(
+                None, engine.llm.executor.run_hidden, __import__("numpy").asarray(tokens, dtype="int32")
+            )
+            emb = hs.astype("float32").mean(axis=0)
+            data.append(EmbeddingData(index=i, embedding=[float(x) for x in emb]))
+            usage.prompt_tokens += len(tokens)
+        usage.total_tokens = usage.prompt_tokens
+        resp = EmbeddingResponse(
+            model=req.model or served_model, data=data, usage=usage
+        )
+        return web.json_response(resp.model_dump())
+
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/embeddings", embeddings)
     return app
 
 

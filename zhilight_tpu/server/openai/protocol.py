@@ -23,6 +23,9 @@ __all__ = [
     "ModelCard",
     "ModelList",
     "ErrorResponse",
+    "EmbeddingRequest",
+    "EmbeddingData",
+    "EmbeddingResponse",
 ]
 
 
@@ -53,6 +56,25 @@ class UsageInfo(BaseModel):
     prompt_tokens: int = 0
     completion_tokens: int = 0
     total_tokens: int = 0
+
+
+class EmbeddingRequest(BaseModel):
+    model: Optional[str] = None
+    input: Union[str, List[str], List[int], List[List[int]]]
+    encoding_format: str = "float"
+
+
+class EmbeddingData(BaseModel):
+    object: str = "embedding"
+    index: int
+    embedding: List[float]
+
+
+class EmbeddingResponse(BaseModel):
+    object: str = "list"
+    model: str = ""
+    data: List[EmbeddingData] = []
+    usage: UsageInfo = UsageInfo()
 
 
 class ChatMessage(BaseModel):

@@ -107,6 +107,10 @@ def main():
     toks_per_s = BATCH * K * WINDOWS / dt
 
     # -- TTFT: 3712-token prompt through the chunked-prefill path ----------
+    # Guarded by a wall-clock budget so the driver always gets the decode
+    # number even if prefill compilation is slow on a cold cache.
+    import signal
+
     from zhilight_tpu.models.base import PrefillMeta
 
     PROMPT = 3712
@@ -143,25 +147,37 @@ def main():
                 tok, _, _, _ = ex.run_prefill(toks, meta, sp1, 0, 0)
         return tok
 
-    prefill_once()  # compile
-    t0 = time.perf_counter()
-    prefill_once()
-    ttft_ms = (time.perf_counter() - t0) * 1e3
+    ttft_ms = None
+    try:
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(int(os.environ.get("ZT_BENCH_TTFT_BUDGET_S", "300")))
+        prefill_once()  # compile
+        t0 = time.perf_counter()
+        prefill_once()
+        ttft_ms = (time.perf_counter() - t0) * 1e3
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+    finally:
+        signal.alarm(0)
 
     baseline = 613.0
     ttft_baseline = 434.64
-    print(
-        json.dumps(
-            {
-                "metric": "serving_decode_tokens_per_sec_minicpm2b_bf16_b16",
-                "value": round(toks_per_s, 2),
-                "unit": "tokens/s/chip",
-                "vs_baseline": round(toks_per_s / baseline, 3),
-                "ttft_ms": round(ttft_ms, 1),
-                "ttft_vs_baseline": round(ttft_baseline / ttft_ms, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "serving_decode_tokens_per_sec_minicpm2b_bf16_b16",
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(toks_per_s / baseline, 3),
+    }
+    if ttft_ms is not None:
+        out["ttft_ms"] = round(ttft_ms, 1)
+        out["ttft_vs_baseline"] = round(ttft_baseline / ttft_ms, 3)
+    print(json.dumps(out))
+
+
+def _timeout(signum, frame):
+    raise TimeoutError("TTFT section exceeded its wall-clock budget")
 
 
 if __name__ == "__main__":

@@ -84,39 +84,50 @@ def _w4a16_packed_kernel(
     k_steps: int,
     k_half_groups: int,  # group-row offset of the high plane (K/2 // gs)
 ):
-    """Minimal-VPU dequant: the group dequantization (w - z) * s is folded
-    OUT of the per-weight path — acc += s_g * (x_g @ w_q_g) - sum(x_g) * s_g z_g
-    (a per-group output scale plus a rank-1 zero correction, both O(TM*TN)
-    per group) — so each weight costs one nibble extract + one cast, not
-    subtract+multiply+cast. This is the Marlin-style algebra on the VPU
-    budget instead of tensor-core fragments (gptq_marlin.cu)."""
+    """Zero-cast dequant: nibble planes are fed to the MXU AS INT8 via two
+    masks + bitcasts — no widening, no float casts, no per-weight arithmetic:
+
+      lo   = bitcast_i8(w & 0x0F)  -> raw nibble value 0..15
+      hi16 = bitcast_i8(w & 0xF0)  -> 16 * signed(nibble ^ 8) = 16*(w_q - 8)
+                                      (pack_int4 stores the high nibble XOR 8)
+
+    The v5e MXU ingests weight operands at a fixed ~800 bytes/cycle
+    independent of dtype (measured at [16,8192]x[8192,29696]: bf16 dense
+    0.647 ms = 41 cyc per 128x128 tile; this kernel 0.331 ms = 20 cyc/tile —
+    both exactly the byte rate), so int8 operands double decode-GEMM
+    throughput. That is the hardware ceiling for sub-byte weights on v5e:
+    Mosaic legalizes int4 vectors through int8 (measured equal), so Marlin's
+    3.5-4x (native s4 tensor-core fragments, gptq_marlin.cu) is not reachable
+    — 2x is speed-of-light here, and this kernel runs at ~94% of it.
+
+    Group dequant algebra stays off the per-weight path: per group
+    acc += (x_g @ wq_g) * s_eff_g where s_eff folds the hi plane's 1/16, and
+    the zero/offset correction over ALL groups is one MXU matmul xs @ sz_eff
+    at accumulator init."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        # full zero correction for every group at once: [TM, G] @ [G, TN]
+        acc_ref[...] = -jax.lax.dot(
+            xs_ref[...], sz_ref[...], preferred_element_type=jnp.float32
+        )
 
     TKh, TN = w_ref.shape
     gpb = TKh // group_size
-    # unpack in int32: Mosaic crashes on 8-bit shifts (probed on v5e) and
-    # cannot cast uint8 directly to f32
-    w32 = w_ref[...].astype(jnp.int32)
-    for plane, x_ref, grow0 in (
-        (w32 & 0xF, x_lo_ref, 0),
-        (w32 >> 4, x_hi_ref, k_half_groups),
-    ):
-        wq = plane.astype(x_lo_ref.dtype)  # one cast per weight
+    w8 = w_ref[...]
+    lo = pltpu.bitcast(w8 & 0x0F, jnp.int8)
+    hi = pltpu.bitcast(w8 & 0xF0, jnp.int8)
+    for wq, x_ref, grow0 in ((lo, x_lo_ref, 0), (hi, x_hi_ref, k_half_groups)):
         for g in range(gpb):
             row = grow0 + k * gpb + g
-            pdot = jax.lax.dot(
+            pdot = jax.lax.dot_general(
                 x_ref[:, g * group_size : (g + 1) * group_size],
                 wq[g * group_size : (g + 1) * group_size, :],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [TM, TN]
-            acc_ref[...] += (
-                pdot * s_ref[row, :][None, :]
-                - xs_ref[:, row][:, None] * sz_ref[row, :][None, :]
-            )
+            )  # [TM, TN] mixed bf16 x int8 MXU dot
+            acc_ref[...] += pdot * s_ref[row, :][None, :]
 
     @pl.when(k == k_steps - 1)
     def _done():
@@ -125,28 +136,40 @@ def _w4a16_packed_kernel(
 
 def _w4a16_packed(x2, w_packed, scales, zeros, interpret):
     """Fused matmul over GLOBAL-PLANAR packed nibbles (quant.pack_int4):
-    packed row r holds original rows r (low nibble) and r + K/2 (high), so
-    each packed k-tile pairs with TWO activation blocks — 4 bits/weight of
-    HBM traffic, no in-VMEM interleave."""
+    packed row r holds original rows r (low nibble) and r + K/2 (high,
+    stored XOR 8), so each packed k-tile pairs with TWO activation blocks —
+    4 bits/weight of HBM traffic, no in-VMEM interleave."""
     Kh, N = w_packed.shape
     K = 2 * Kh
     G = scales.shape[0]
     gs = K // G
     M = x2.shape[0]
     TM = min(max(8, M), 256)
+    # large k-tiles amortize per-program overhead (~290 ns measured on v5e);
+    # the kernel is MXU-ingest-bound, so bigger tiles are pure win until VMEM
     TKh = gs
-    while TKh < 256 and Kh % (TKh * 2) == 0:
+    while TKh < 1024 and Kh % (TKh * 2) == 0:
         TKh *= 2
-    TN = 256 if N % 256 == 0 else 128
+    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
     Mp = (M + TM - 1) // TM * TM
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     k_steps = Kh // TKh
 
-    # per-group activation sums + fused scale*zero for the kernel's rank-1
-    # zero correction (XLA-side: O(M*K) + O(G*N), off the hot VPU path)
+    if x2.dtype != jnp.bfloat16:
+        x2 = x2.astype(jnp.bfloat16)  # mixed MXU dot wants bf16 x int8
+
+    # per-group activation sums for the kernel's zero correction, plus the
+    # EFFECTIVE scale rows: the high plane's int8 values carry a factor 16
+    # and an offset of 8 quant steps (stored ^8), folded here (XLA-side:
+    # O(M*K) + O(G*N), off the hot VPU path)
     xs = jnp.sum(x2.reshape(Mp, G, gs).astype(jnp.float32), axis=-1)  # [Mp, G]
-    sz = scales * zeros
+    gh = Kh // gs  # first group row of the high plane
+    s_hi = scales[gh:]
+    sz = jnp.concatenate(
+        [scales[:gh] * zeros[:gh], s_hi * (zeros[gh:] - 8.0)], axis=0
+    )
+    scales = jnp.concatenate([scales[:gh], s_hi * (1.0 / 16.0)], axis=0)
 
     out = pl.pallas_call(
         functools.partial(
@@ -204,7 +227,7 @@ def w4a16_matmul(
 
     if packed:
         out = _w4a16_packed(x2, w_p, scales, zeros, interpret)
-        return out.reshape(orig_shape[:-1] + (N,))
+        return out.astype(x.dtype).reshape(orig_shape[:-1] + (N,))
 
     TM, TK, TN = _pick_tiles(M, K, N, gs)
     Mp = (M + TM - 1) // TM * TM

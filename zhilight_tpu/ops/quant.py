@@ -101,20 +101,23 @@ def int4_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
 def pack_int4(w_nib: jax.Array) -> jax.Array:
     """Pack nibble weights [K, N] (values 0..15, int8) into uint8 [K/2, N]:
     GLOBAL-PLANAR layout — low nibbles hold rows [0, K/2), high nibbles rows
-    [K/2, K). Tile-agnostic: any packed k-tile unpacks to two original-row
-    ranges, so the fused kernel reads 4 bits/weight from HBM (Marlin-class;
-    the reference reads packed int4 too, gptq_marlin.cu) and pairs each half
-    with its own activation block instead of interleaving in VMEM."""
+    [K/2, K) stored XOR 8 (= value - 8 mod 16). Tile-agnostic: any packed
+    k-tile unpacks to two original-row ranges, so the fused kernel reads
+    4 bits/weight from HBM (Marlin-class; the reference reads packed int4
+    too, gptq_marlin.cu) and pairs each half with its own activation block.
+    The XOR-8 encoding lets the kernel feed ``bitcast_i8(byte & 0xF0)``
+    (= 16 * (value - 8)) straight to the MXU with zero per-weight VPU work —
+    see pallas/quant_matmul._w4a16_packed_kernel."""
     K = w_nib.shape[0]
     lo = w_nib[: K // 2].astype(jnp.uint8)
-    hi = w_nib[K // 2 :].astype(jnp.uint8)
+    hi = w_nib[K // 2 :].astype(jnp.uint8) ^ 8
     return lo | (hi << 4)
 
 
 def unpack_int4(w_packed: jax.Array) -> jax.Array:
     """Inverse of pack_int4: uint8 [K/2, N] -> int8 nibbles [K, N]."""
     lo = (w_packed & 0xF).astype(jnp.int8)
-    hi = (w_packed >> 4).astype(jnp.int8)
+    hi = ((w_packed >> 4) ^ 8).astype(jnp.int8)
     return jnp.concatenate([lo, hi], axis=0)
 
 

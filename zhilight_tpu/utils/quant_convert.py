@@ -115,8 +115,10 @@ def gptq_planar_qweight(qweight: np.ndarray) -> np.ndarray:
 
     even_lo, odd_lo = nibbles(qweight[:half])
     even_hi, odd_hi = nibbles(qweight[half:])
-    res_even = even_lo | (even_hi << 4)  # planar rows 8k + {0, 2, 4, 6}
-    res_odd = odd_lo | (odd_hi << 4)  # planar rows 8k + {1, 3, 5, 7}
+    # high plane stored XOR 8 (ops.quant.pack_int4 encoding for the MXU-fed
+    # int8 kernel)
+    res_even = even_lo | ((even_hi ^ 8) << 4)  # planar rows 8k + {0, 2, 4, 6}
+    res_odd = odd_lo | ((odd_hi ^ 8) << 4)  # planar rows 8k + {1, 3, 5, 7}
     out = torch.stack([res_even, res_odd], dim=3)  # [half, N, 4, 2]
     out = out.permute(0, 2, 3, 1).reshape(half * 8, N)
     return out.contiguous().numpy()

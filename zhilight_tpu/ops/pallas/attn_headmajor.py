@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._dedup import dedup_jit
+
 __all__ = ["paged_decode_attention_hm", "paged_decode_attention_hm_q"]
 
 NEG_INF = -2.0e38
@@ -122,6 +124,7 @@ def _kernel_hm(
             o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
 
 
+@dedup_jit(4)
 def paged_decode_attention_hm(
     q: jax.Array,         # [B, Hq, D]
     kv_pool: jax.Array,   # [Hkv, N_slots, 2D] head-major K|V packed
@@ -254,13 +257,17 @@ def _kernel_hm_q(
     def _compute():
         q = q_ref[0]                                            # [Hkv, G, 2D]
         kv = jnp.concatenate([r[:] for r in kv_refs], axis=1)   # [Hkv, T, 2D] i8
-        kvf = kv.astype(q.dtype)                                # cast, no scale
         ks = jnp.concatenate([r[:] for r in ks_refs], axis=0)   # [T, Hkv] f32
         vs = jnp.concatenate([r[:] for r in vs_refs], axis=0)
         ks_h = jnp.swapaxes(ks, 0, 1)[:, None, :]               # [Hkv, 1, T]
         vs_h = jnp.swapaxes(vs, 0, 1)[:, None, :]
+        # MIXED bf16 x int8 MXU dots: the int8 buffer goes straight to the
+        # MXU (v5e ingests weight operands at a fixed byte rate, so int8
+        # halves both dot passes) — no per-element dequant cast, which was
+        # the dominant cost of this kernel (cast + bf16-ingest measured
+        # SLOWER than the bf16 kernel at half the HBM bytes)
         s = jax.lax.dot_general(
-            q, kvf, (((2,), (2,)), ((0,), (0,))),
+            q, kv, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale                                               # [Hkv, G, T]
         s = s * ks_h                                            # K dequant
@@ -277,7 +284,7 @@ def _kernel_hm_q(
         alpha = jnp.exp(m_prev - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         upd = jax.lax.dot_general(
-            (p * vs_h).astype(kvf.dtype), kvf, (((2,), (1,)), ((0,), (0,))),
+            (p * vs_h).astype(q.dtype), kv, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                       # V dequant via p
         acc_ref[...] = acc_ref[...] * alpha + upd
@@ -298,6 +305,7 @@ def _kernel_hm_q(
             o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
 
 
+@dedup_jit(6)
 def paged_decode_attention_hm_q(
     q: jax.Array,          # [B, Hq, D]
     kv_pool: jax.Array,    # [Hkv, N_slots, 2D] head-major K|V packed, int8

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._dedup import dedup_jit
+
 __all__ = [
     "paged_write_rows",
     "write_rows_2d",
@@ -135,6 +137,7 @@ def _prefill_kernel(
                         pltpu.make_async_copy(bufv.at[slot, j], v_out.at[s], row_sems.at[j, 1]).wait()
 
 
+@dedup_jit(5)
 def paged_write_rows(
     k_cache: jax.Array,  # [N_slots, H, D] (or [N_slots, L] for MLA latent)
     v_cache: jax.Array,
@@ -317,6 +320,7 @@ def _page_write_kernel_2d(
             pltpu.make_async_copy(page_buf, c_out.at[pl.ds(dst, S)], psem).wait()
 
 
+@dedup_jit(3)
 def write_rows_2d(
     cache: jax.Array,  # [N_slots, ...]; trailing dims flattened internally
     rows: jax.Array,  # [T, ...]
@@ -419,6 +423,7 @@ def _rmw_decode_kernel_2d_pair(
             ).wait()
 
 
+@dedup_jit(5)
 def write_rows_2d_pair(
     k_cache: jax.Array,
     v_cache: jax.Array,
@@ -597,6 +602,7 @@ def _page_write_kernel_hm(
             pltpu.make_async_copy(page_buf, c_out.at[:, pl.ds(dst, S)], psem).wait()
 
 
+@dedup_jit(3)
 def write_rows_hm(
     pool: jax.Array,  # [Hkv, N_slots, X] head-major
     rows: jax.Array,  # [T, Hkv, X] (token-major, as produced by projections)
@@ -737,9 +743,12 @@ def _flush_side_kernel_hm(
                 jnp.where(hit, 1.0, 0.0).astype(rows_b.dtype),
                 (rows_b.shape[0], S, Kw),
             )
+            # int8 pools need an int accumulator (Mosaic rejects float acc
+            # with int operands); 0/1 selection x int8 rows is exact in i32
+            acc_t = jnp.int32 if rows_b.dtype == jnp.int8 else jnp.float32
             upd = jax.lax.dot_general(
                 sel, rows_b, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )  # [Hkv, S, X]
             row_hit = (s_iota[..., :1] >= off) & (s_iota[..., :1] < off + length)
             pbuf[b, r] = jnp.where(row_hit, upd.astype(pbuf.dtype), pbuf[b, r])
@@ -772,6 +781,7 @@ def _flush_side_kernel_hm(
             ).wait()
 
 
+@dedup_jit(5)
 def flush_side_rows_hm(
     pool: jax.Array,       # [Hkv, N_slots, X] head-major packed pool
     side: jax.Array,       # [B, Hkv, Kw, X] window rows (col j = step-j row)
@@ -864,9 +874,10 @@ def _flush_side_kernel_2d(
                 j_iota < j0 + length
             )
             sel = jnp.where(hit, 1.0, 0.0).astype(rows_b.dtype)
+            acc_t = jnp.int32 if rows_b.dtype == jnp.int8 else jnp.float32
             upd = jax.lax.dot_general(
                 sel, rows_b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )  # [S, X]
             row_hit = (s_iota[:, :1] >= off) & (s_iota[:, :1] < off + length)
             pbuf[b, r] = jnp.where(row_hit, upd.astype(pbuf.dtype), pbuf[b, r])
@@ -897,6 +908,7 @@ def _flush_side_kernel_2d(
             ).wait()
 
 
+@dedup_jit(5)
 def flush_side_rows_2d(
     pool: jax.Array,       # [N_slots, X] slot-major (e.g. MLA latent)
     side: jax.Array,       # [B, Kw, X] window rows

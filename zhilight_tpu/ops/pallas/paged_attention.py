@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._dedup import dedup_jit
+
 __all__ = [
     "paged_decode_attention",
     "paged_decode_attention_fused",
@@ -358,6 +360,7 @@ def _paged_decode_blockspec(
     )(*operands)
 
 
+@dedup_jit(5)
 def paged_decode_attention(
     q: jax.Array,  # [B, Hq, D]
     k_pages: jax.Array,  # [N_slots, Hkv, D]
@@ -637,6 +640,7 @@ def _kernel_bs_fused(
         o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+@dedup_jit(8)
 def paged_decode_attention_fused(
     q: jax.Array,            # [B, Hq, D]
     k_pages: jax.Array,      # [N, Hkv, D] (packed: [N, Hkv, 2D] K|V lanes)
@@ -783,6 +787,7 @@ def paged_decode_attention_fused(
     return out, res[1].reshape(k_pages.shape), res[2].reshape(v_pages.shape)
 
 
+@dedup_jit(4)
 def paged_mla_decode(
     q_eff: jax.Array,  # [B, H, k_dim]: concat(absorbed q_latent, q_pe)
     latent_pool: jax.Array,  # [N_slots, stored] (lane-padded latent pool)
@@ -819,6 +824,7 @@ def paged_mla_decode(
     return out.reshape(B, H, v_dim)
 
 
+@dedup_jit(6)
 def paged_mla_decode_fused(
     q_eff: jax.Array,        # [B, H, k_dim]: concat(absorbed q_latent, q_pe)
     latent_pool: jax.Array,  # [N_slots, stored]
@@ -945,6 +951,7 @@ def _kernel_bs_q(
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
+@dedup_jit(7)
 def paged_decode_attention_q(
     q: jax.Array,          # [B, Hq, D]
     k_pages: jax.Array,    # [N, Hkv, D] int8

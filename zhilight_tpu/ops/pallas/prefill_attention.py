@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._dedup import dedup_jit
+
 __all__ = ["paged_prefill_attention_hm"]
 
 NEG_INF = -2.0e38
@@ -175,6 +177,7 @@ def _kernel_prefill_hm(
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
+@dedup_jit(5)
 def paged_prefill_attention_hm(
     q: jax.Array,           # [T, Hq, D] current chunk queries (post-rope)
     kv_pool: jax.Array,     # [Hkv, N_slots, 2D] head-major K|V packed pool

@@ -157,17 +157,23 @@ def run_http(args):
 
     import aiohttp
 
-    async def one(session, url, prompt_text, results):
+    async def one(session, url, prompt_ids, results):
         t0 = time.perf_counter()
         ttft = None
         n = 0
+        # exact-length prompts as token ids (the reference method controls
+        # prompt length exactly; text prompts retokenize unpredictably)
         body = {
-            "messages": [{"role": "user", "content": prompt_text}],
+            "prompt": prompt_ids,
             "max_tokens": args.output_len,
             "temperature": 0,
             "stream": True,
         }
-        async with session.post(f"{url}/v1/chat/completions", json=body) as resp:
+        async with session.post(f"{url}/v1/completions", json=body) as resp:
+            if resp.status != 200:
+                print(f"request failed: {resp.status} {await resp.text()}",
+                      file=sys.stderr, flush=True)
+                return
             async for raw in resp.content:
                 line = raw.decode().strip()
                 if not line.startswith("data:"):
@@ -179,19 +185,24 @@ def run_http(args):
                     ttft = time.perf_counter() - t0
                 n += 1
         e2e = time.perf_counter() - t0
-        tpot = (e2e - (ttft or e2e)) / max(n - 1, 1)
-        results.append((ttft or e2e, tpot, e2e, n))
+        # SSE chunks can carry multiple tokens (window-granular streaming):
+        # charge inter-token time by requested output length, not chunk count
+        n_tok = args.output_len
+        tpot = (e2e - (ttft or e2e)) / max(n_tok - 1, 1)
+        results.append((ttft or e2e, tpot, e2e, n_tok))
 
     async def main():
         rng = np.random.RandomState(0)
         for qps in args.qps:
             results = []
-            async with aiohttp.ClientSession() as session:
+            async with aiohttp.ClientSession(
+                timeout=aiohttp.ClientTimeout(total=1800)
+            ) as session:
                 tasks = []
                 t_start = time.perf_counter()
                 for i in range(args.num_requests):
-                    text = " ".join(str(x) for x in rng.randint(0, 1000, size=args.input_len // 2))
-                    tasks.append(asyncio.create_task(one(session, args.url, text, results)))
+                    ids = rng.randint(10, 30000, size=args.input_len).tolist()
+                    tasks.append(asyncio.create_task(one(session, args.url, ids, results)))
                     if i + 1 < args.num_requests:
                         await asyncio.sleep(float(rng.exponential(1.0 / qps)))
                 await asyncio.gather(*tasks)
@@ -199,10 +210,12 @@ def run_http(args):
             ttfts = [r[0] for r in results]
             tpots = [r[1] for r in results]
             e2es = [r[2] for r in results]
+            toks = sum(r[3] for r in results)
             print(json.dumps({
                 "requests": len(results),
                 "qps_offered": qps,
                 "qps_achieved": round(len(results) / wall, 3),
+                "output_tokens_per_s": round(toks / wall, 1),
                 "ttft_mean_ms": round(1e3 * float(np.mean(ttfts)), 2),
                 "ttft_p95_ms": round(1e3 * pct(ttfts, 95), 2),
                 "tpot_mean_ms": round(1e3 * float(np.mean(tpots)), 2),

@@ -67,7 +67,7 @@ class ModelExecutor:
     ):
         self.cfg = cfg
         self.engine_cfg = engine_cfg
-        self.sched_cfg = engine_cfg.scheduler
+        self.sched_cfg = self._trim_buckets(engine_cfg)
         self.cache_cfg = engine_cfg.cache
         pcfg = engine_cfg.parallel
         # multi-host: join the jax.distributed runtime (reference NCCL
@@ -178,6 +178,25 @@ class ModelExecutor:
     # ------------------------------------------------------------------
     # sizing
     # ------------------------------------------------------------------
+    @staticmethod
+    def _trim_buckets(engine_cfg: EngineConfig) -> SchedulerConfig:
+        """Drop prefill buckets no chunk can ever fill: chunks are capped at
+        ``chunk_size`` (and the model length), so buckets above the smallest
+        one covering that cap are dead shapes — warmup would compile slow,
+        large programs for them (e.g. the default 8192 bucket on a
+        max_model_len=4k server)."""
+        import dataclasses
+
+        sc = engine_cfg.scheduler
+        cap = min(sc.chunk_size, _round_up(engine_cfg.max_model_len, 128))
+        cover = next((b for b in sc.prefill_buckets if b >= cap), None)
+        bks = tuple(b for b in sc.prefill_buckets if cover is None or b <= cover)
+        if not bks:
+            bks = (_round_up(cap, 128),)
+        if bks == sc.prefill_buckets:
+            return sc
+        return dataclasses.replace(sc, prefill_buckets=bks)
+
     def _decide_num_pages(self) -> int:
         cc = self.cache_cfg
         if cc.num_pages:
@@ -749,18 +768,20 @@ class ModelExecutor:
                 q_len=jnp.int32(n),
             )
             self.run_chunk(np.zeros(bucket, np.int32), meta)
+            sparams = SamplingParams(
+                temperature=jnp.zeros(B, jnp.float32),
+                top_p=jnp.ones(B, jnp.float32),
+                top_k=jnp.zeros(B, jnp.int32),
+                min_p=jnp.zeros(B, jnp.float32),
+                repetition_penalty=jnp.ones(B, jnp.float32),
+                presence_penalty=jnp.zeros(B, jnp.float32),
+                frequency_penalty=jnp.zeros(B, jnp.float32),
+                seed=jnp.arange(B, dtype=jnp.int32),
+            )
+            # a prompt's LAST chunk can land in any bucket — warm the
+            # prefill+sample program for each, not just the largest
+            self.run_prefill(np.zeros(bucket, np.int32), meta, sparams, 0, 0)
             if bucket == self.sched_cfg.prefill_buckets[-1]:
-                sparams = SamplingParams(
-                    temperature=jnp.zeros(B, jnp.float32),
-                    top_p=jnp.ones(B, jnp.float32),
-                    top_k=jnp.zeros(B, jnp.int32),
-                    min_p=jnp.zeros(B, jnp.float32),
-                    repetition_penalty=jnp.ones(B, jnp.float32),
-                    presence_penalty=jnp.zeros(B, jnp.float32),
-                    frequency_penalty=jnp.zeros(B, jnp.float32),
-                    seed=jnp.arange(B, dtype=jnp.int32),
-                )
-                self.run_prefill(np.zeros(bucket, np.int32), meta, sparams, 0, 0)
                 # full-batch decode windows: every slot "active" over one page
                 ctx = np.ones(B, np.int32)
                 ptb = np.full((B, self.max_pages_per_seq), -1, np.int32)

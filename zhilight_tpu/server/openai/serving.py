@@ -94,6 +94,7 @@ class AsyncEngine:
         detok = IncrementalDetokenizer(self.tokenizer)
         stopper = StopStringChecker(arg.stop_strings, arg.include_stop_str_in_output)
         released = ""
+        first_sent = False
         self.gen.scheduler.submit(task)
         try:
             while True:
@@ -109,7 +110,14 @@ class AsyncEngine:
                             task.cancel()
                     if text:
                         released += text
+                        first_sent = True
                         yield text, None
+                    elif not first_sent:
+                        # the detokenizer may hold back an incomplete UTF-8
+                        # sequence; still signal the first generated token so
+                        # client-side TTFT (first SSE chunk) stays meaningful
+                        first_sent = True
+                        yield "", None
                 elif flag == StreamResultType.Final:
                     if isinstance(payload, BaseException):
                         raise payload

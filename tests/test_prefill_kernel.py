@@ -94,3 +94,86 @@ def test_empty_tail_padding():
     got, want = _run(q, k, v, pages, cache_len=0, q_len=q_len)
     np.testing.assert_allclose(got[:q_len], want[:q_len], rtol=1e-2, atol=1e-2)
     assert np.all(np.isfinite(got))
+
+
+# ---------------------------------------------------------------------------
+# packed multi-sequence variant (encode groups)
+# ---------------------------------------------------------------------------
+
+def test_packed_segments_match_single():
+    """paged_prefill_attention_hm_packed == per-segment single-sequence runs,
+    including zero-length (padded) and cache_len > 0 segments."""
+    from zhilight_tpu.ops.pallas.prefill_attention import (
+        paged_prefill_attention_hm_packed,
+    )
+
+    rng = np.random.RandomState(3)
+    Hkv, G, D = 2, 2, 64
+    Hq = Hkv * G
+    NS, TC, maxp = 4, 64, 16
+    N = NS * maxp
+    pool = jnp.asarray(rng.randn(Hkv, N * S, 2 * D), jnp.float32)
+    q = jnp.asarray(rng.randn(NS * TC, Hq, D), jnp.float32)
+    tables = np.stack([s * maxp + np.arange(maxp) for s in range(NS)]).astype(np.int32)
+    cache_lens = np.array([32, 0, 100, 7], np.int32)
+    q_lens = np.array([64, 40, 64, 0], np.int32)
+    scale = 1.0 / np.sqrt(D)
+
+    out = paged_prefill_attention_hm_packed(
+        q, pool, jnp.asarray(tables), jnp.asarray(cache_lens),
+        jnp.asarray(q_lens), S, scale, 0, True,
+    )
+    from zhilight_tpu.ops.pallas.prefill_attention import (
+        paged_prefill_attention_hm as single,
+    )
+
+    for s in range(NS):
+        ql = int(q_lens[s])
+        if not ql:
+            continue
+        ref = single(
+            q[s * TC : (s + 1) * TC], pool, jnp.asarray(tables[s]),
+            jnp.int32(cache_lens[s]), jnp.int32(q_lens[s]), S, scale, 0, True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[s * TC : (s + 1) * TC][:ql]),
+            np.asarray(ref[:ql]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_packed_uneven_qblocks():
+    """TC smaller than a natural q block and NS*TC with per-seg row padding."""
+    from zhilight_tpu.ops.pallas.prefill_attention import (
+        paged_prefill_attention_hm_packed,
+    )
+
+    rng = np.random.RandomState(4)
+    Hkv, G, D = 1, 4, 64
+    Hq = Hkv * G
+    NS, TC, maxp = 2, 24, 4
+    pool = jnp.asarray(rng.randn(Hkv, NS * maxp * S, 2 * D), jnp.float32)
+    q = jnp.asarray(rng.randn(NS * TC, Hq, D), jnp.float32)
+    tables = np.stack([s * maxp + np.arange(maxp) for s in range(NS)]).astype(np.int32)
+    cache_lens = np.array([5, 16], np.int32)
+    q_lens = np.array([24, 17], np.int32)
+    scale = 1.0 / np.sqrt(D)
+
+    out = paged_prefill_attention_hm_packed(
+        q, pool, jnp.asarray(tables), jnp.asarray(cache_lens),
+        jnp.asarray(q_lens), S, scale, 0, True,
+    )
+    k = np.asarray(pool)[:, :, :D].transpose(1, 0, 2)
+    v = np.asarray(pool)[:, :, D:].transpose(1, 0, 2)
+    for s in range(NS):
+        slots = (tables[s][:, None] * S + np.arange(S)).reshape(-1)
+        want = prefill_attention(
+            q[s * TC : (s + 1) * TC], jnp.asarray(k[slots]), jnp.asarray(v[slots]),
+            jnp.int32(cache_lens[s]), jnp.int32(q_lens[s]), scale, 0,
+        )
+        ql = int(q_lens[s])
+        np.testing.assert_allclose(
+            np.asarray(out[s * TC : (s + 1) * TC][:ql]),
+            np.asarray(want[:ql]),
+            rtol=1e-4, atol=1e-4,
+        )

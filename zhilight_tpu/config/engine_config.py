@@ -49,6 +49,14 @@ class SchedulerConfig:
     chunk_size: int = 512                # chunked-prefill chunk (token bucket)
     # prefill length buckets (token counts) for compile-shape control
     prefill_buckets: Tuple[int, ...] = (128, 512, 2048, 8192)
+    # packed multi-sequence prefill ("encode groups", reference
+    # fill_encode_input): up to this many tasks' chunks fuse into one
+    # program when several prompts are waiting. < 2 disables packing.
+    prefill_pack: int = 4
+    # only chunks up to this many tokens join a pack (longer chunks are
+    # already MXU-efficient alone; this bounds the packed program to
+    # prefill_pack * pack_chunk_cap tokens)
+    pack_chunk_cap: int = 512
     # decode batch buckets; () => always max_batch (single compiled shape)
     decode_buckets: Tuple[int, ...] = ()
     max_beam_size: int = 8

@@ -377,6 +377,75 @@ class ModelExecutor:
 
         return prefill_step
 
+    @property
+    def supports_packed_prefill(self) -> bool:
+        """Packed multi-sequence chunks (encode groups) need the per-layer
+        llama attention path; MLA / stacked / PP forwards read single-sequence
+        meta."""
+        return not self.cfg.mla.enabled and not self.stacked and self.pp == 1
+
+    def _packed_prefill_fn(self, ns: int, tc: int):
+        """One fused program for NS sequences' chunks (reference encode group,
+        fill_encode_input, batch_generator.cpp:1086-1212): mid chunks write
+        KV only; last chunks also sample their first token (slots[s] >= 0)."""
+        cfg, rope = self.cfg, self.rope
+        rep = self._rep
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(2, 3),
+            out_shardings=(rep, rep, self._cache_fmt, self._state_fmt),
+        )
+        def packed_step(params, tokens, cache, sampler_state, meta, sparams, slots, key):
+            logits, cache = llama_mod.forward_prefill_packed(
+                params, cfg, rope, tokens, meta, cache
+            )
+            safe = jnp.maximum(slots, 0)
+            sl = jax.tree.map(lambda a: a[safe], sparams)
+            st = SamplerState(
+                token_counts=sampler_state.token_counts[safe],
+                step=sampler_state.step[safe],
+            )
+            tok, lp, _, _, st2 = sample_step(
+                logits.astype(jnp.float32), st, sl, key
+            )
+            oob = jnp.where(slots >= 0, slots, sampler_state.token_counts.shape[0])
+            new_state = SamplerState(
+                token_counts=sampler_state.token_counts.at[oob].set(
+                    st2.token_counts, mode="drop"
+                ),
+                step=sampler_state.step.at[oob].set(st2.step, mode="drop"),
+            )
+            return tok, lp, cache, new_state
+
+        return packed_step
+
+    def run_prefill_packed(
+        self,
+        tokens: np.ndarray,  # [NS * TC]
+        meta,                # PackedPrefillMeta
+        sparams: SamplingParams,
+        slots: np.ndarray,   # [NS] int32 slot per segment; -1 = no sample
+    ):
+        """Returns (tokens [NS], logprobs [NS]); entries for slots == -1 are
+        garbage the caller ignores."""
+        ns = int(meta.page_tables.shape[0])
+        tc = int(tokens.shape[0]) // ns
+        fn = self._get(
+            ("packed_prefill", ns, tc), lambda: self._packed_prefill_fn(ns, tc)
+        )
+        tok, lp, self.cache, self.sampler_state = fn(
+            self.params,
+            jnp.asarray(tokens),
+            self.cache,
+            self.sampler_state,
+            meta,
+            sparams,
+            jnp.asarray(slots),
+            self.base_key,
+        )
+        return np.asarray(tok), np.asarray(lp)
+
     def _decode_step_fn(self):
         cfg, rope = self.cfg, self.rope
 

@@ -28,7 +28,7 @@ from ..config.engine_config import SchedulerConfig
 from ..kvcache.allocator import make_page_allocator
 from ..parallel.control_plane import ControlPlane, LocalPlane
 from .beam import BeamGroup, BeamHypo
-from ..models.base import DecodeMeta, PrefillMeta
+from ..models.base import DecodeMeta, PackedPrefillMeta, PrefillMeta
 from ..ops.sampling import SamplingParams
 from .engine import ModelExecutor
 from .penalties import ngram_penalty_map
@@ -78,6 +78,7 @@ class Scheduler:
         self.beam_wait: List[SearchTask] = []
         self._slot_debt = 0
         self.num_beam_parks = 0  # cumulative, for metrics/tests
+        self.num_packed_prefills = 0  # packed chunk programs run (metrics/tests)
         self.step_index = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -337,7 +338,7 @@ class Scheduler:
             self._decode_step()
             worked = True
         if self.prefilling:
-            worked = self._prefill_one() or worked
+            worked = self._prefill_step() or worked
         return worked
 
     # ------------------------------------------------------------------
@@ -778,6 +779,138 @@ class Scheduler:
             task.slot = -1
             with self._lock:
                 self._active -= 1
+
+    def _prefill_step(self) -> bool:
+        group = self._pick_pack_group()
+        if group is not None:
+            return self._prefill_packed(group)
+        return self._prefill_one()
+
+    def _prefill_ctx(self, task: SearchTask):
+        """Tokens a task still has to prefill (recompute-resume includes the
+        generated tokens)."""
+        return (
+            task.input_tokens + task.output_tokens
+            if task.resume_decode
+            else task.input_tokens
+        )
+
+    def _packable(self, task: SearchTask, cap: int) -> bool:
+        """A task joins a packed chunk when its whole remaining prefill fits
+        one <= cap chunk and its first-token sampling is plain (beam seeding,
+        logprobs, bias/penalty rows and multimodal embeddings keep the
+        single-sequence program)."""
+        remaining = len(self._prefill_ctx(task)) - task.cache_len
+        if not (0 < remaining <= cap) or task.input_embeddings is not None:
+            return False
+        if task.resume_decode:
+            return True  # pure cache writes, no sampling
+        return (
+            task.slot >= 0
+            and task.arg.beam_size <= 1
+            and not task.arg.logit_bias
+            and task.arg.ngram_penalty <= 1.0
+            and not task.arg.top_logprobs
+        )
+
+    def _pick_pack_group(self):
+        """Packed multi-sequence prefill (reference encode groups,
+        fill_encode_input packs every admitted prompt into one forward,
+        batch_generator.cpp:1086-1212): under a burst of short prompts the
+        single-sequence path costs O(N) sequential chunk programs, each
+        re-streaming all weights. Strictly FIFO: the group must start at the
+        queue head."""
+        pack = self.cfg.prefill_pack
+        if pack < 2 or not self.ex.supports_packed_prefill:
+            return None
+        cap = min(self.cfg.pack_chunk_cap, self.cfg.chunk_size)
+        group = []
+        for t in self.prefilling:
+            if len(group) == pack:
+                break
+            if self._cancelled(t) or not self._packable(t, cap):
+                break  # FIFO: never prefill past an unpackable task
+            group.append(t)
+        return group if len(group) >= 2 else None
+
+    def _prefill_packed(self, group) -> bool:
+        cap = min(self.cfg.pack_chunk_cap, self.cfg.chunk_size)
+        S = self.ex.page_size
+        members = []  # (task, chunk)
+        for i, t in enumerate(group):
+            ctx = self._prefill_ctx(t)
+            chunk = len(ctx) - t.cache_len
+            target = t.cache_len + chunk + (0 if t.resume_decode else 1)
+            ok = True
+            while not self._alloc_pages_to(t, target):
+                if self._evict_lru_session():
+                    continue
+                if i == 0 and self._preempt_one(newer_than=t.admit_seq):
+                    continue
+                ok = False
+                break
+            if not ok:
+                if i == 0:
+                    return False  # OOM on the head: wait for pages
+                break  # later members stay queued for the next round
+            members.append((t, chunk))
+        if len(members) < 2:
+            return self._prefill_one()
+
+        NS = len(members)
+        TC = self.ex.pick_bucket(max(c for _, c in members))
+        T = NS * TC
+        tokens = np.zeros(T, np.int32)
+        positions = np.zeros(T, np.int32)
+        slot_map = np.full(T, -1, np.int32)
+        page_tables = np.full((NS, self.ex.max_pages_per_seq), -1, np.int32)
+        cache_lens = np.zeros(NS, np.int32)
+        q_lens = np.zeros(NS, np.int32)
+        slots = np.full(NS, -1, np.int32)
+        for s, (t, chunk) in enumerate(members):
+            ctx = self._prefill_ctx(t)
+            start = t.cache_len
+            base = s * TC
+            tokens[base : base + chunk] = ctx[start : start + chunk]
+            if t.position_ids is not None:
+                positions[base : base + chunk] = t.position_ids[start : start + chunk]
+            else:
+                positions[base : base + chunk] = np.arange(start, start + chunk)
+            pages = np.asarray(t.pages, np.int32)
+            pos = np.arange(start, start + chunk)
+            slot_map[base : base + chunk] = pages[pos // S] * S + pos % S
+            page_tables[s, : len(t.pages)] = t.pages
+            cache_lens[s] = start
+            q_lens[s] = chunk
+            if not t.resume_decode:
+                slots[s] = t.slot
+
+        meta = PackedPrefillMeta(
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slot_map),
+            page_tables=jnp.asarray(page_tables),
+            cache_lens=jnp.asarray(cache_lens),
+            q_lens=jnp.asarray(q_lens),
+        )
+        tok, lp = self.ex.run_prefill_packed(
+            tokens, meta, self._sampling_params(), slots
+        )
+        self.step_index += 1
+        self.num_packed_prefills += 1
+        now = time.monotonic()
+        for s, (t, chunk) in enumerate(members):
+            self.prefilling.remove(t)
+            t.cache_len = t.cache_len + chunk
+            t.status = TaskStatus.DECODE
+            if t.resume_decode:
+                t.resume_decode = False
+            else:
+                t.first_token_ts = now
+                self._append_token(t, int(tok[s]), float(lp[s]), None, None)
+        # the slot set changes NOW (see _prefill_one): decode windows in
+        # flight consume the older invalidation
+        self._decode_clean = False
+        return True
 
     def _prefill_one(self) -> bool:
         task = self.prefilling[0]

@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["PrefillMeta", "DecodeMeta"]
+__all__ = ["PrefillMeta", "PackedPrefillMeta", "DecodeMeta"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -51,6 +51,45 @@ class PrefillMeta:
     @property
     def max_context(self) -> int:
         return self.page_table.shape[0]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class PackedPrefillMeta:
+    """NS sequences' prefill chunks packed into one token batch (the
+    reference "encode group": fill_encode_input packs every admitted prompt
+    into one fused forward, src/generator/batch_generator.cpp:1086-1212).
+
+    T = NS * TC (static). Segment s covers tokens [s*TC, (s+1)*TC) of the
+    packed batch; its chunk spans global positions
+    [cache_lens[s], cache_lens[s] + q_lens[s]). Padded segments have
+    q_lens == 0. Token-level fields (positions/slot_mapping) keep the
+    single-sequence layout per segment, so rope and KV writes are unchanged;
+    only attention consults the per-segment tables."""
+
+    positions: jax.Array     # [T] int32 global positions (pad: 0)
+    slot_mapping: jax.Array  # [T] int32 flat cache slot per token; -1 pad
+    page_tables: jax.Array   # [NS, max_pages] int32; -1 pad
+    cache_lens: jax.Array    # [NS] int32
+    q_lens: jax.Array        # [NS] int32 valid tokens per segment
+
+    def tree_flatten(self):
+        return (
+            (self.positions, self.slot_mapping, self.page_tables, self.cache_lens, self.q_lens),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_tokens(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def num_segments(self) -> int:
+        return self.page_tables.shape[0]
 
 
 @jax.tree_util.register_pytree_node_class

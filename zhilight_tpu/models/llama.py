@@ -29,7 +29,7 @@ from ..ops.attention import decode_attention, prefill_attention
 from ..ops.linear import linear
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import RopeTable, apply_rope_rot, build_rope_table
-from .base import DecodeMeta, PrefillMeta
+from .base import DecodeMeta, PackedPrefillMeta, PrefillMeta
 
 __all__ = ["build_rope", "init_params", "forward_prefill", "forward_decode", "get_logits"]
 
@@ -295,6 +295,53 @@ def attention_layer(
 
     cache = write_kv(cache, layer_idx, k, v, meta.slot_mapping)
 
+    if mode == "prefill" and isinstance(meta, PackedPrefillMeta):
+        # packed multi-sequence chunk (reference encode groups,
+        # batch_generator.cpp:1086-1212): one fused program, per-segment
+        # causal attention
+        if _use_pallas_decode(cfg, cache) and cache.packed and not cache.quantized:
+            from ..parallel import kernel_partitioning_enabled
+
+            if kernel_partitioning_enabled():
+                from ..ops.pallas.partitioned import (
+                    paged_prefill_attention_hm_packed_sharded as _pfp,
+                )
+            else:
+                from ..ops.pallas.prefill_attention import (
+                    paged_prefill_attention_hm_packed as _pfp,
+                )
+            out = _pfp(
+                q,
+                cache.k[layer_idx],
+                meta.page_tables,
+                meta.cache_lens,
+                meta.q_lens,
+                cache.page_size,
+                scale,
+                cfg.sliding_window,
+            )
+        else:
+            # XLA fallback: per-segment gather + dense causal attention
+            NS = meta.num_segments
+            TC = n // NS
+            outs = []
+            for s in range(NS):
+                ck, cv = gather_kv(cache, layer_idx, meta.page_tables[s])
+                outs.append(
+                    prefill_attention(
+                        q[s * TC : (s + 1) * TC],
+                        ck,
+                        cv,
+                        meta.cache_lens[s],
+                        meta.q_lens[s],
+                        scale,
+                        cfg.sliding_window,
+                    )
+                )
+            out = jnp.concatenate(outs, axis=0)
+        out = out.reshape(n, cfg.num_heads * cfg.dim_head)
+        return linear(p["o_proj"], out), cache
+
     if mode == "prefill":
         if _use_pallas_decode(cfg, cache) and cache.packed and not cache.quantized:
             # flash chunked-prefill: stream context pages, no full gather
@@ -551,6 +598,29 @@ def forward_prefill(
     )
     last = jnp.maximum(meta.q_len - 1, 0)
     logits = get_logits(params, cfg, hidden[last])
+    return logits, cache
+
+
+def forward_prefill_packed(
+    params: Params,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    tokens: jax.Array,  # [T] = [NS * TC]
+    meta: PackedPrefillMeta,
+    cache: KVCache,
+    input_embeddings: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Packed multi-sequence chunk (reference encode group); returns the
+    last-valid-token logits of every segment [NS, vocab] and the cache.
+    Padded segments (q_len 0) produce garbage rows the host discards."""
+    hidden, cache = backbone(
+        params, cfg, rope, tokens, meta.positions, cache, meta, "prefill",
+        input_embeddings,
+    )
+    NS = meta.num_segments
+    TC = tokens.shape[0] // NS
+    rows = jnp.arange(NS) * TC + jnp.maximum(meta.q_lens - 1, 0)
+    logits = get_logits(params, cfg, hidden[rows])
     return logits, cache
 
 

@@ -82,7 +82,8 @@ def select_experts(
 
 def _expert_weight(p: Params, dtype) -> jax.Array:
     """Stacked expert weight [E, in, out]; dequantizes canonical int4/fp8
-    stacks (reference GPTQMOE / FP8BlockMOE paths) into the compute dtype."""
+    stacks (reference GPTQMOE / FP8BlockMOE paths) into the compute dtype.
+    Fallback path — the fused route is :func:`_use_quant_ragged`."""
     if "w" in p:
         return p["w"]
     if "w_p" in p:
@@ -93,6 +94,82 @@ def _expert_weight(p: Params, dtype) -> jax.Array:
         )
         return w
     raise ValueError(f"unknown expert weight format: {sorted(p.keys())}")
+
+
+def _ragged_tile(num_rows: int) -> int:
+    """m-tile for the fused quantized grouped GEMM: small tiles keep the
+    group-alignment padding negligible at decode row counts; prefill rows
+    amortize bigger tiles."""
+    return 8 if num_rows <= 512 else 64
+
+
+def _use_quant_ragged(p_experts: Params) -> bool:
+    """Route to the fused W4A16 grouped kernel (reference GPTQMOE/DeepGEMM
+    class, feedforward.cpp:967-1075): expert weights stream at 4 bits/weight
+    with per-tile dequant in VMEM — no bf16 [E, K, N] stack per forward."""
+    import os
+
+    if os.environ.get("ZT_NO_PALLAS") == "1":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or os.environ.get("ZT_PALLAS_INTERPRET") == "1"):
+        return False
+    from ..parallel import kernel_partitioning_enabled
+
+    if kernel_partitioning_enabled():
+        return False  # EP meshes keep the dequant path (no SPMD rule yet)
+    for proj in p_experts.values():
+        wp = proj.get("w_p")
+        if wp is None or wp.dtype != jnp.uint8:
+            return False
+        E, Kh, N = wp.shape
+        K = 2 * Kh
+        gs = K // proj["scales"].shape[1]
+        if K % gs or gs % 32 or N % 128 or Kh % gs:
+            return False
+    return True
+
+
+def _grouped_experts_quant(
+    p_experts: Params,
+    x: jax.Array,            # [T, D] raw token activations
+    flat_experts: jax.Array, # [T*K] expert of each (token, k) pair
+    top_k: int,
+    num_experts: int,
+    act: str,
+):
+    """Fused quantized grouped experts: group-aligned padded rows shared by
+    all three projections. Returns (out_sorted [T*K, D], sort_idx,
+    token_idx) in sorted-by-expert row order."""
+    import os
+
+    from ..ops.pallas.quant_ragged import ragged_layout, w4a16_ragged_matmul
+
+    interpret = (
+        jax.default_backend() != "tpu"
+        and os.environ.get("ZT_PALLAS_INTERPRET") == "1"
+    )
+    R = flat_experts.shape[0]
+    TM = _ragged_tile(R)
+    sort_idx, dest, tile_expert, mp = ragged_layout(flat_experts, num_experts, TM)
+    token_idx = sort_idx // top_k
+    xp = jnp.zeros((mp, x.shape[1]), x.dtype).at[dest].set(x[token_idx])
+
+    def mm(proj, xin):
+        return w4a16_ragged_matmul(
+            xin, proj["w_p"], proj["scales"], proj["zeros"], tile_expert,
+            interpret=interpret,
+        )
+
+    if "gate_up_proj" in p_experts:
+        gu = mm(p_experts["gate_up_proj"], xp)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = mm(p_experts["gate_proj"], xp)
+        u = mm(p_experts["up_proj"], xp)
+    h = gated_act(g, u, act)
+    down = mm(p_experts["down_proj"], h)
+    return down[dest].astype(x.dtype), sort_idx, token_idx
 
 
 def _grouped_experts(
@@ -126,12 +203,18 @@ def moe_layer(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
     # sort token-expert pairs by expert id -> grouped GEMM layout
     flat_experts = expert_ids.reshape(-1)  # [T*K]
-    sort_idx = jnp.argsort(flat_experts)
-    token_idx = sort_idx // K  # original token of each sorted row
-    x_sorted = x[token_idx]
-    group_sizes = jnp.bincount(flat_experts, length=E)
-
-    out_sorted = _grouped_experts(p["experts"], x_sorted, group_sizes, cfg.activate_fn)
+    if _use_quant_ragged(p["experts"]):
+        out_sorted, sort_idx, token_idx = _grouped_experts_quant(
+            p["experts"], x, flat_experts, K, E, cfg.activate_fn
+        )
+    else:
+        sort_idx = jnp.argsort(flat_experts)
+        token_idx = sort_idx // K  # original token of each sorted row
+        x_sorted = x[token_idx]
+        group_sizes = jnp.bincount(flat_experts, length=E)
+        out_sorted = _grouped_experts(
+            p["experts"], x_sorted, group_sizes, cfg.activate_fn
+        )
     out_sorted = out_sorted * weights.reshape(-1)[sort_idx][:, None].astype(out_sorted.dtype)
 
     routed = jnp.zeros((T, D), out_sorted.dtype).at[token_idx].add(out_sorted)

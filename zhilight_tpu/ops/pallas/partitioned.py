@@ -25,7 +25,10 @@ from .attn_headmajor import (
     paged_decode_attention_hm_q as _attn_hm_q,
 )
 from .kv_write import write_rows_hm as _write_hm
-from .prefill_attention import paged_prefill_attention_hm as _prefill_hm
+from .prefill_attention import (
+    paged_prefill_attention_hm as _prefill_hm,
+    paged_prefill_attention_hm_packed as _prefill_hm_packed,
+)
 
 __all__ = [
     "paged_decode_attention_hm_sharded",
@@ -33,6 +36,7 @@ __all__ = [
     "paged_decode_attention_hm_partial_sharded",
     "paged_decode_attention_hm_q_partial_sharded",
     "paged_prefill_attention_hm_sharded",
+    "paged_prefill_attention_hm_packed_sharded",
     "write_rows_hm_sharded",
     "flush_side_rows_hm_sharded",
     "paged_mla_decode_sharded",
@@ -151,6 +155,38 @@ def paged_prefill_attention_hm_sharded(
         g=G,
     )
     return f(q, kv_pool, page_table, meta)
+
+
+def paged_prefill_attention_hm_packed_sharded(
+    q, kv_pool, page_tables, cache_lens, q_lens, page_size, scale,
+    sliding_window=0, interpret=False,
+):
+    """paged_prefill_attention_hm_packed with an SPMD rule: head-sharded
+    q/pool run the packed (multi-sequence) flash prefill per shard; the token
+    dim and per-segment metadata stay replicated."""
+
+    def _impl(q, pool, pts, cls, qls):
+        return _prefill_hm_packed(
+            q, pool, pts, cls, qls, page_size, scale,
+            sliding_window=sliding_window, interpret=interpret,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, pts, cls, qls):
+            return _impl(q, pool, pts, cls, qls)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    G = q.shape[1] // kv_pool.shape[0]
+    f.def_partition(
+        partition,
+        sharding_rule="t (h g) d, h n x, s p, s, s -> t (h g) d",
+        need_replication_factors=("t", "d", "n", "x", "s", "p"),
+        g=G,
+    )
+    return f(q, kv_pool, page_tables, cache_lens, q_lens)
 
 
 def write_rows_hm_sharded(pool, rows, slot_mapping, page_size, interpret=False):

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ._dedup import dedup_jit
 
-__all__ = ["paged_prefill_attention_hm"]
+__all__ = ["paged_prefill_attention_hm", "paged_prefill_attention_hm_packed"]
 
 NEG_INF = -2.0e38
 
@@ -55,8 +55,8 @@ _KV_TOKENS_TARGET = 512
 
 def _kernel_prefill_hm(
     # scalar prefetch
-    page_table_ref,  # [maxp] int32 (SMEM)
-    meta_ref,        # [2] int32: (cache_len, q_len)
+    page_table_ref,  # [NS, maxp] int32 (SMEM)
+    meta_ref,        # [NS, 2] int32: (cache_len, q_len) per segment
     # inputs
     q_ref,    # [1, TQ*G, 2D] VMEM (V-half lanes zero)
     kv_hbm,   # [Hkv, N_slots, 2D] ANY (HBM)
@@ -76,14 +76,21 @@ def _kernel_prefill_hm(
     group: int,
     scale: float,
     sliding_window: int,
+    q_blocks_per_seg: int,
 ):
     h = pl.program_id(0)
-    qi = pl.program_id(1)
+    qg = pl.program_id(1)
     i = pl.program_id(2)
     S, PPB = page_size, pages_per_block
+    # packed multi-sequence chunk ("encode group", reference
+    # fill_encode_input batch_generator.cpp:1086-1212): q rows are NS
+    # segments of TC tokens each; q blocks never straddle segments
+    # (tq divides TC), so each q block reads one segment's meta
+    seg = qg // q_blocks_per_seg
+    qi = qg % q_blocks_per_seg
 
-    cache_len = meta_ref[0]
-    q_len = meta_ref[1]
+    cache_len = meta_ref[seg, 0]
+    q_len = meta_ref[seg, 1]
     total = cache_len + q_len
     num_valid_pages = pl.cdiv(total, S)
 
@@ -100,7 +107,7 @@ def _kernel_prefill_hm(
         # clamp so every DMA lands on real data (masked out of the softmax;
         # uninitialized VMEM would produce 0 * NaN in p @ v)
         safe_pos = jnp.minimum(page_pos, jnp.maximum(num_valid_pages - 1, 0))
-        return page_table_ref[safe_pos]
+        return page_table_ref[seg, safe_pos]
 
     def start_copies(block_idx, slot):
         for j in range(PPB):
@@ -189,35 +196,70 @@ def paged_prefill_attention_hm(
     sliding_window: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash chunked-prefill attention; returns [T, Hq, D] like
-    ``ops.attention.prefill_attention`` (pool must already contain the chunk's
-    K/V — the write kernel runs first, matching the XLA path's ordering)."""
+    """Flash chunked-prefill attention for ONE sequence; returns [T, Hq, D]
+    like ``ops.attention.prefill_attention`` (pool must already contain the
+    chunk's K/V — the write kernel runs first, matching the XLA ordering)."""
+    return paged_prefill_attention_hm_packed(
+        q,
+        kv_pool,
+        page_table[None],
+        jnp.asarray(cache_len, jnp.int32).reshape(1),
+        jnp.asarray(q_len, jnp.int32).reshape(1),
+        page_size,
+        scale,
+        sliding_window,
+        interpret,
+    )
+
+
+@dedup_jit(5)
+def paged_prefill_attention_hm_packed(
+    q: jax.Array,            # [T, Hq, D]; T = NS * TC packed segment tokens
+    kv_pool: jax.Array,      # [Hkv, N_slots, 2D] head-major K|V packed pool
+    page_tables: jax.Array,  # [NS, maxp] int32 pages per segment; -1 pad
+    cache_lens: jax.Array,   # [NS] int32: tokens before each segment's chunk
+    q_lens: jax.Array,       # [NS] int32 valid tokens per segment (<= TC)
+    page_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-sequence packed prefill (reference "encode group",
+    src/generator/batch_generator.cpp:1086-1212): NS independent chunks share
+    one fused program — the MLP/projection matmuls see one [NS*TC] token
+    batch while attention masks per segment. Returns [T, Hq, D]."""
     T, Hq, D = q.shape
     Hkv, N, D2 = kv_pool.shape
     assert D2 == 2 * D, (D2, D)
     S = page_size
     G = Hq // Hkv
-    maxp = page_table.shape[0]
+    NS, maxp = page_tables.shape
+    assert T % NS == 0, (T, NS)
+    TC = T // NS
 
-    # q-block rows: multiples of G*8 (sublane) aiming at _ROWS_TARGET
-    tq = max(8, min(T, _ROWS_TARGET // G))
-    tq = max(8, tq // 8 * 8)
-    t_pad = (T + tq - 1) // tq * tq
-    num_q_blocks = t_pad // tq
+    # q-block rows: multiples of 8 (sublane) aiming at _ROWS_TARGET, and
+    # dividing the per-segment token count so blocks never straddle segments
+    tq = max(8, min(TC, _ROWS_TARGET // G) // 8 * 8)
+    tc_pad = (TC + tq - 1) // tq * tq  # per-seg row pad; multiple of tq
+    q_blocks_per_seg = tc_pad // tq
+    num_q_blocks = NS * q_blocks_per_seg
 
     ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
     num_blocks = (maxp + ppb - 1) // ppb
     ppb = (maxp + num_blocks - 1) // num_blocks  # fit tightly (decode's trick)
 
-    # [T, Hq, D] -> [Hkv, T*G, D] -> pad rows/lanes; V-half lanes zero
-    q_hm = jnp.moveaxis(q.reshape(T, Hkv, G, D), 1, 0).reshape(Hkv, T * G, D)
-    q_hm = jnp.pad(q_hm, ((0, 0), (0, (t_pad - T) * G), (0, D2 - D)))
+    # [T, Hq, D] -> [Hkv, T*G, D] -> per-seg row pad + lane pad; V lanes zero
+    q_hm = jnp.moveaxis(q.reshape(T, Hkv, G, D), 1, 0).reshape(Hkv, NS, TC * G, D)
+    q_hm = jnp.pad(q_hm, ((0, 0), (0, 0), (0, (tc_pad - TC) * G), (0, D2 - D)))
+    q_hm = q_hm.reshape(Hkv, NS * tc_pad * G, D2)
 
-    safe_table = jnp.maximum(page_table, 0)
-    meta = jnp.stack([jnp.int32(cache_len), jnp.int32(q_len)])
+    safe_tables = jnp.maximum(page_tables, 0)
+    meta = jnp.stack(
+        [jnp.asarray(cache_lens, jnp.int32), jnp.asarray(q_lens, jnp.int32)], axis=1
+    )  # [NS, 2]
 
-    def q_index(h, qi, i, *_):
-        return (h, qi, 0)
+    def q_index(h, qg, i, *_):
+        return (h, qg, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -244,16 +286,18 @@ def paged_prefill_attention_hm(
         group=G,
         scale=scale,
         sliding_window=sliding_window,
+        q_blocks_per_seg=q_blocks_per_seg,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hkv, t_pad * G, D2), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Hkv, NS * tc_pad * G, D2), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(safe_table, meta, q_hm, kv_pool)
-    # V lanes carry the result: [Hkv, t_pad*G, 2D] -> [T, Hq, D]
-    out = out[:, : T * G, D:]
-    return jnp.moveaxis(out.reshape(Hkv, T, G, D), 0, 1).reshape(T, Hq, D)
+    )(safe_tables, meta, q_hm, kv_pool)
+    # V lanes carry the result: [Hkv, NS*tc_pad*G, 2D] -> [T, Hq, D]
+    out = out.reshape(Hkv, NS, tc_pad * G, D2)[:, :, : TC * G, D:]
+    out = out.reshape(Hkv, T, G, D)
+    return jnp.moveaxis(out, 0, 1).reshape(T, Hq, D)

@@ -1,0 +1,198 @@
+"""Pallas TPU kernel: fused dequant + GROUPED (ragged) matmul for
+weight-only-quantized MoE expert stacks.
+
+TPU-native replacement for the reference's quantized grouped GEMMs —
+GPTQMOE (FUSE_GPTQ_MOE) and FP8BlockMOE/DeepGEMM
+(src/nn/feedforward/feedforward.cpp:967-1075, 3rd/deep_gemm): tokens routed
+to E experts multiply each expert's int4 weights WITHOUT materializing a
+bf16 [E, K, N] stack in HBM (models/moe.py previously vmap-dequantized whole
+stacks per forward — 4x the HBM bytes quantization should save).
+
+Design (megablox/gmm-style group tiling, quantization fused per-tile):
+  * rows are laid out GROUP-ALIGNED: each expert's tokens start at a
+    TM-aligned row (``ragged_layout``), so every [TM, K] m-tile belongs to
+    exactly one expert and a scalar-prefetched ``tile_expert`` array drives
+    the weight BlockSpec — the kernel visits ONLY experts that own tokens
+    (decode reads just the routed experts' bytes, like the reference's
+    grouped GEMM over occupied groups).
+  * grid (n, m, k): m-tiles of one expert are consecutive, so Pallas'
+    revisiting skips the weight re-DMA between them — each active expert's
+    weights stream from HBM exactly once per n-tile at 4 bits/weight.
+  * dequantization is the planar zero-cast trick of
+    pallas/quant_matmul._w4a16_packed_kernel: two nibble planes feed the MXU
+    as int8 via mask+bitcast, group scales fold per-group after the dot, and
+    the zero correction over all groups is one MXU matmul at accumulator
+    init.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["w4a16_ragged_matmul", "ragged_layout", "pack_expert_int4"]
+
+
+def pack_expert_int4(w_nib: jax.Array) -> jax.Array:
+    """Per-expert planar pack: int8 nibble stack [E, K, N] -> uint8
+    [E, K/2, N]. Within each expert the layout matches ops.quant.pack_int4
+    (low nibbles rows [0, K/2), high nibbles rows [K/2, K) stored XOR 8)."""
+    K = w_nib.shape[1]
+    lo = w_nib[:, : K // 2].astype(jnp.uint8)
+    hi = w_nib[:, K // 2 :].astype(jnp.uint8) ^ 8
+    return lo | (hi << 4)
+
+
+def ragged_layout(flat_experts: jax.Array, num_experts: int, tm: int):
+    """Group-aligned padded row layout for ``w4a16_ragged_matmul``.
+
+    flat_experts: [R] expert id per (token, k) pair, unsorted.
+    Returns (dest [R], tile_expert [Mp//tm], Mp) where ``dest[i]`` is the
+    padded-row position of sorted row i (rows sorted by expert), every
+    expert's rows start tm-aligned, and ``tile_expert`` names each m-tile's
+    expert (tiles past the occupied end clamp to the last expert; their rows
+    are zero). Mp is a static bound: R + E*(tm-1) rounded up to tm."""
+    R = flat_experts.shape[0]
+    E = num_experts
+    mp = ((R + E * (tm - 1)) + tm - 1) // tm * tm
+    sizes = jnp.bincount(flat_experts, length=E)
+    padded = (sizes + tm - 1) // tm * tm
+    p_ends = jnp.cumsum(padded)
+    p_starts = p_ends - padded
+    starts = jnp.cumsum(sizes) - sizes
+    sort_idx = jnp.argsort(flat_experts, stable=True)
+    es = flat_experts[sort_idx]
+    rank = jnp.arange(R) - starts[es]
+    dest = p_starts[es] + rank
+    tile_starts = jnp.arange(mp // tm, dtype=jnp.int32) * tm
+    tile_expert = jnp.clip(
+        jnp.searchsorted(p_ends, tile_starts, side="right"), 0, E - 1
+    ).astype(jnp.int32)
+    return sort_idx, dest, tile_expert, mp
+
+
+def _kernel_ragged_w4(
+    te_ref,      # [num_m_tiles] int32 tile -> expert (SMEM scalar prefetch)
+    x_lo_ref,    # [TM, TKh]
+    x_hi_ref,    # [TM, TKh]
+    xs_ref,      # [TM, G] f32 per-group activation sums
+    w_ref,       # [1, TKh, TN] uint8 nibble planes of this tile's expert
+    s_ref,       # [1, G, TN] f32 effective scales
+    sz_ref,      # [1, G, TN] f32 scale*zero (hi plane offset folded)
+    o_ref,       # [TM, TN]
+    acc_ref,     # [TM, TN] f32
+    *,
+    group_size: int,
+    k_steps: int,
+    k_half_groups: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = -jax.lax.dot(
+            xs_ref[...], sz_ref[0], preferred_element_type=jnp.float32
+        )
+
+    TKh = w_ref.shape[1]
+    gpb = TKh // group_size
+    w8 = w_ref[0]
+    lo = pltpu.bitcast(w8 & 0x0F, jnp.int8)
+    hi = pltpu.bitcast(w8 & 0xF0, jnp.int8)
+    for wq, x_ref, grow0 in ((lo, x_lo_ref, 0), (hi, x_hi_ref, k_half_groups)):
+        for g in range(gpb):
+            row = grow0 + k * gpb + g
+            pdot = jax.lax.dot_general(
+                x_ref[:, g * group_size : (g + 1) * group_size],
+                wq[g * group_size : (g + 1) * group_size, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[...] += pdot * s_ref[0, row, :][None, :]
+
+    @pl.when(k == k_steps - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def w4a16_ragged_matmul(
+    x: jax.Array,            # [Mp, K] bf16, GROUP-ALIGNED rows (ragged_layout)
+    w_p: jax.Array,          # [E, K/2, N] uint8 per-expert planar packed
+    scales: jax.Array,       # [E, G, N] f32
+    zeros: jax.Array,        # [E, G, N] f32
+    tile_expert: jax.Array,  # [Mp//TM] int32 expert of each m-tile
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped W4A16 matmul over group-aligned rows; returns [Mp, N]."""
+    Mp, K = x.shape
+    E, Kh, N = w_p.shape
+    assert K == 2 * Kh, (K, Kh)
+    G = scales.shape[1]
+    gs = K // G
+    num_m_tiles = tile_expert.shape[0]
+    TM = Mp // num_m_tiles
+    assert Mp % num_m_tiles == 0
+
+    # same tiling policy as the dense packed kernel
+    TKh = gs
+    while TKh < 1024 and Kh % (TKh * 2) == 0:
+        TKh *= 2
+    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    k_steps = Kh // TKh
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+
+    xs = jnp.sum(x.reshape(Mp, G, gs).astype(jnp.float32), axis=-1)  # [Mp, G]
+    gh = Kh // gs
+    s_hi = scales[:, gh:]
+    sz = jnp.concatenate(
+        [scales[:, :gh] * zeros[:, :gh], s_hi * (zeros[:, gh:] - 8.0)], axis=1
+    )
+    s_eff = jnp.concatenate([scales[:, :gh], s_hi * (1.0 / 16.0)], axis=1)
+
+    grid = (N // TN, num_m_tiles, k_steps)
+
+    def w_index(n, m, k, te):
+        return (te[m], k, n)
+
+    def sz_index(n, m, k, te):
+        return (te[m], 0, n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TKh), lambda n, m, k, te: (m, k)),       # x lo
+            pl.BlockSpec((TM, TKh), lambda n, m, k, te: (m, k)),       # x hi
+            pl.BlockSpec((TM, G), lambda n, m, k, te: (m, 0)),         # x sums
+            pl.BlockSpec((1, TKh, TN), w_index),
+            pl.BlockSpec((1, G, TN), sz_index),
+            pl.BlockSpec((1, G, TN), sz_index),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda n, m, k, te: (m, n)),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_ragged_w4,
+            group_size=gs,
+            k_steps=k_steps,
+            k_half_groups=Kh // gs,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tile_expert, x[:, :Kh], x[:, Kh:], xs, w_p, s_eff, sz)
+    return out

@@ -381,6 +381,16 @@ def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
             continue
         for k, v in canon.items():
             tgt = jnp.int8 if k == "w_p" else (jnp.int32 if k == "perm" else jnp.float32)
+            if k == "w_p" and v.ndim == 3 and v.shape[1] % 2 == 0:
+                # per-expert planar pack (quant_ragged.pack_expert_int4
+                # layout): the fused grouped MoE kernel streams experts at
+                # 4 bits/weight; the dequant fallback unpacks per expert
+                K = v.shape[1]
+                packed = v[:, : K // 2].astype(np.uint8) | (
+                    (v[:, K // 2 :].astype(np.uint8) ^ 8) << 4
+                )
+                _set_path(tree, f"{path}.{k}", jnp.asarray(packed))
+                continue
             arr = _to_jax(v, tgt)
             if k == "w_p" and _packable_int4(v.shape):
                 # 4 bits/weight in HBM for the fused kernel (quant.pack_int4

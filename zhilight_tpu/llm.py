@@ -83,6 +83,15 @@ class LLM:
             params = load_hf_state(
                 model_path, self.model_config, quant=self.quant_config
             )
+            from .config.quant_config import QuantType
+
+            if self.quant_config.quant_type == QuantType.AUTO_INT8:
+                # quantize raw fp16/bf16 weights to W8A8 at load (reference
+                # AutoInt8, linear.cpp:432-630); for the calibrated
+                # SmoothQuant variant use LLM.load_with_smooth_quant
+                from .utils.quant_convert import quantize_int8_params
+
+                params = quantize_int8_params(params, alpha=self.quant_config.smooth_alpha)
         # default EOS set: tokenizer eos + generation_config.json lists
         # (e.g. Llama-3 ships eos_token_id=[eos, eot_id]; reference users had
         # to pass stop_token_ids manually — here any member stops generation)
@@ -108,6 +117,62 @@ class LLM:
 
     def generator(self) -> DynamicBatchGenerator:
         return DynamicBatchGenerator(self)
+
+    # ------------------------------------------------------------------
+    # SmoothQuant calibration (reference LLaMA.calc_act_scales +
+    # load_with_smooth_quant, /root/reference/zhilight/llama.py:214-240,
+    # src/model/model_context.h:95-99)
+    # ------------------------------------------------------------------
+    def calc_act_scales(self, prompts, calib_len: int = 512):
+        """Run calibration prompts through the model and return per-channel
+        activation |max| per quantized-linear input (path -> [in] float32).
+        Prompts are tiled/truncated to ``calib_len`` so one jitted pass
+        serves every sample."""
+        import numpy as np
+
+        from .utils.calibrate import calc_act_scales as _calc
+
+        batches = []
+        for p in prompts:
+            ids = self._encode_ids(p)
+            if len(ids) == 0:
+                continue
+            reps = -(-calib_len // len(ids))
+            batches.append(np.tile(ids, reps)[:calib_len])
+        if not batches:
+            raise ValueError("no non-empty calibration prompts")
+        return _calc(
+            self.executor.params, self.model_config, self.executor.rope, batches
+        )
+
+    @classmethod
+    def load_with_smooth_quant(
+        cls,
+        model_path: str,
+        calibration_prompts,
+        engine_config: Optional[EngineConfig] = None,
+        alpha: float = 0.5,
+        calib_len: int = 512,
+        **kw,
+    ) -> "LLM":
+        """Full SmoothQuant flow from a raw fp16/bf16 checkpoint: load bf16,
+        calibrate activation scales on ``calibration_prompts``, migrate
+        outliers into the weights (alpha) and serve W8A8 int8 (reference
+        load_with_smooth_quant)."""
+        import jax
+
+        from .utils.quant_convert import quantize_int8_params
+
+        base = cls(model_path=model_path, engine_config=engine_config, **kw)
+        scales = base.calc_act_scales(calibration_prompts, calib_len=calib_len)
+        host_params = jax.device_get(base.executor.params)
+        mc, ec, tok = base.model_config, base.engine_config, base.tokenizer
+        base.executor = None  # release device weights + KV before rebuild
+        del base
+        qparams = quantize_int8_params(host_params, scales, alpha)
+        return cls(
+            model_config=mc, engine_config=ec, params=qparams, tokenizer=tok
+        )
 
     # ------------------------------------------------------------------
     # scoring utilities (reference LLaMA::calc_* APIs, src/model/llama.h:100-131

@@ -33,6 +33,7 @@ __all__ = [
     "convert_quant_tensors",
     "auto_int8_from_fp",
     "smooth_quant_weights",
+    "quantize_int8_params",
 ]
 
 AWQ_ORDER = (0, 2, 4, 6, 1, 3, 5, 7)
@@ -231,3 +232,54 @@ def smooth_quant_weights(
     s = np.power(np.maximum(act_scale, 1e-8), alpha) / np.power(w_amax, 1.0 - alpha)
     s = np.maximum(s, 1e-8).astype(np.float32)
     return w * s[:, None], (1.0 / s).astype(np.float32)
+
+
+def quantize_int8_params(
+    params,
+    act_scales: Optional[Dict[str, np.ndarray]] = None,
+    alpha: float = 0.5,
+):
+    """Quantize a loaded bf16/fp16 param pytree's dense-layer linears to W8A8
+    int8 in place of their ``{"w"}`` leaves (reference AutoInt8 quantize-at-
+    load, linear.cpp:432-630). With ``act_scales`` (from
+    ``utils.calibrate.calc_act_scales``) the SmoothQuant migration folds
+    activation outliers into the weights and stores the inverse ``smooth``
+    vector for the runtime (ops/quant.int8_linear). Embedding, lm_head,
+    norms, routers and already-quantized leaves are untouched."""
+    targets = (
+        "qkv_proj", "q_proj", "k_proj", "v_proj", "o_proj",
+        "gate_up_proj", "gate_proj", "up_proj", "down_proj",
+    )
+
+    def walk(tree, path):
+        out = {}
+        for k, v in tree.items():
+            sub = f"{path}.{k}" if path else k
+            if isinstance(v, dict):
+                leaf = k in targets and "w" in v and ".experts" not in sub
+                if leaf and getattr(v["w"], "ndim", 0) == 2:
+                    w = np.asarray(v["w"], np.float32)
+                    smooth = None
+                    if act_scales is not None and sub in act_scales:
+                        w, smooth = smooth_quant_weights(
+                            w, act_scales[sub], alpha
+                        )
+                    q = auto_int8_from_fp(w)
+                    import jax.numpy as jnp
+
+                    new = {
+                        "w_q": jnp.asarray(q["w_q"]),
+                        "scale": jnp.asarray(q["scale"]),
+                    }
+                    if smooth is not None:
+                        new["smooth"] = jnp.asarray(smooth)
+                    if "b" in v:
+                        new["b"] = v["b"]
+                    out[k] = new
+                else:
+                    out[k] = walk(v, sub)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, "")

@@ -42,11 +42,11 @@ def test_kernel_matches_dequant(tm):
     flat_e = rng.randint(0, E, size=R).astype(np.int32)
     xin = jnp.asarray(rng.randn(R, K), jnp.bfloat16)
 
-    sort_idx, dest, tile_expert, mp = ragged_layout(jnp.asarray(flat_e), E, tm)
+    sort_idx, dest, tile_expert, num_occ, mp = ragged_layout(jnp.asarray(flat_e), E, tm)
     xp = jnp.zeros((mp, K), jnp.bfloat16).at[dest].set(xin[sort_idx])
     out = w4a16_ragged_matmul(
         xp, pack_expert_int4(jnp.asarray(nib)), jnp.asarray(scales),
-        jnp.asarray(zeros), tile_expert, interpret=True,
+        jnp.asarray(zeros), tile_expert, num_occ, interpret=True,
     )
     got = np.asarray(out)[np.asarray(dest)].astype(np.float32)
 
@@ -62,11 +62,46 @@ def test_kernel_matches_dequant(tm):
         assert rel.max() < 0.05, (i, rel.max())
 
 
+def test_kernel_many_experts_few_rows():
+    """Decode shape on a many-expert model: most m-tiles are padding past the
+    occupied prefix — the kernel skips them (pl.when + frozen DMA indices)
+    and their garbage output rows are never addressed by dest."""
+    E, K, N, tm = 64, 256, 256, 8
+    nib, scales, zeros = _mk(E, K, N)
+    rng = np.random.RandomState(7)
+    R = 8
+    flat_e = rng.randint(0, E, size=R).astype(np.int32)
+    xin = jnp.asarray(rng.randn(R, K), jnp.bfloat16)
+
+    sort_idx, dest, tile_expert, num_occ, mp = ragged_layout(jnp.asarray(flat_e), E, tm)
+    assert int(num_occ[0]) <= R  # occupied prefix far below the static bound
+    assert mp // tm > int(num_occ[0])
+    assert int(np.asarray(dest).max()) < int(num_occ[0]) * tm
+    xp = jnp.zeros((mp, K), jnp.bfloat16).at[dest].set(xin[sort_idx])
+    out = w4a16_ragged_matmul(
+        xp, pack_expert_int4(jnp.asarray(nib)), jnp.asarray(scales),
+        jnp.asarray(zeros), tile_expert, num_occ, interpret=True,
+    )
+    got = np.asarray(out)[np.asarray(dest)].astype(np.float32)
+    xf = np.asarray(xin, np.float32)
+    for i, r in enumerate(np.asarray(sort_idx)):
+        e = flat_e[r]
+        w = np.asarray(dequant_int4(
+            jnp.asarray(nib[e]), jnp.asarray(scales[e]), jnp.asarray(zeros[e]),
+            jnp.float32,
+        ))
+        ref = xf[r] @ w
+        rel = np.abs(got[i] - ref) / (np.abs(ref) + 1e-2)
+        assert rel.max() < 0.05, (i, rel.max())
+
+
 def test_layout_group_alignment():
     E, tm = 4, 8
     flat_e = jnp.asarray(np.array([2, 0, 2, 2, 3, 0], np.int32))
-    sort_idx, dest, tile_expert, mp = ragged_layout(flat_e, E, tm)
+    sort_idx, dest, tile_expert, num_occ, mp = ragged_layout(flat_e, E, tm)
     assert mp % tm == 0
+    # every row lands inside the occupied tile prefix
+    assert int(np.asarray(dest).max()) < int(num_occ[0]) * tm
     es = np.asarray(flat_e)[np.asarray(sort_idx)]
     d = np.asarray(dest)
     # each row's tile is owned by that row's expert

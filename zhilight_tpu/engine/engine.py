@@ -850,6 +850,33 @@ class ModelExecutor:
             # a prompt's LAST chunk can land in any bucket — warm the
             # prefill+sample program for each, not just the largest
             self.run_prefill(np.zeros(bucket, np.int32), meta, sparams, 0, 0)
+            # packed multi-sequence chunks: the scheduler pads groups to a
+            # static NS in {2, prefill_pack} (scheduler._prefill_packed), so
+            # warming those two shapes per packed bucket covers every packed
+            # program a burst of short prompts can hit
+            pack = self.sched_cfg.prefill_pack
+            pack_cap = min(self.sched_cfg.pack_chunk_cap, self.sched_cfg.chunk_size)
+            if (
+                pack >= 2
+                and self.supports_packed_prefill
+                and bucket <= self.pick_bucket(pack_cap)
+            ):
+                from ..models.base import PackedPrefillMeta
+
+                for ns in sorted({2, pack}):
+                    pmeta = PackedPrefillMeta(
+                        positions=jnp.asarray(np.tile(pos, ns)),
+                        slot_mapping=jnp.full(ns * bucket, -1, jnp.int32),
+                        page_tables=jnp.full(
+                            (ns, self.max_pages_per_seq), -1, jnp.int32
+                        ),
+                        cache_lens=jnp.zeros(ns, jnp.int32),
+                        q_lens=jnp.full(ns, n, jnp.int32),
+                    )
+                    self.run_prefill_packed(
+                        np.zeros(ns * bucket, np.int32), pmeta, sparams,
+                        np.full(ns, -1, np.int32),
+                    )
             if bucket == self.sched_cfg.prefill_buckets[-1]:
                 # full-batch decode windows: every slot "active" over one page
                 ctx = np.ones(B, np.int32)

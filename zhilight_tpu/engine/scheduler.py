@@ -857,7 +857,11 @@ class Scheduler:
         if len(members) < 2:
             return self._prefill_one()
 
-        NS = len(members)
+        # pad the segment count to a static shape ({2, prefill_pack}) so a
+        # burst never JIT-compiles a fresh (ns, tc) program mid-serving:
+        # padded segments have q_lens == 0 / slot_mapping == -1 (no KV
+        # writes, attention DMAs clamped) and warmup covers both shapes
+        NS = 2 if len(members) == 2 else self.cfg.prefill_pack
         TC = self.ex.pick_bucket(max(c for _, c in members))
         T = NS * TC
         tokens = np.zeros(T, np.int32)

@@ -151,14 +151,16 @@ def _grouped_experts_quant(
     )
     R = flat_experts.shape[0]
     TM = _ragged_tile(R)
-    sort_idx, dest, tile_expert, mp = ragged_layout(flat_experts, num_experts, TM)
+    sort_idx, dest, tile_expert, num_occ, mp = ragged_layout(
+        flat_experts, num_experts, TM
+    )
     token_idx = sort_idx // top_k
     xp = jnp.zeros((mp, x.shape[1]), x.dtype).at[dest].set(x[token_idx])
 
     def mm(proj, xin):
         return w4a16_ragged_matmul(
             xin, proj["w_p"], proj["scales"], proj["zeros"], tile_expert,
-            interpret=interpret,
+            num_occ, interpret=interpret,
         )
 
     if "gate_up_proj" in p_experts:

@@ -51,11 +51,14 @@ def ragged_layout(flat_experts: jax.Array, num_experts: int, tm: int):
     """Group-aligned padded row layout for ``w4a16_ragged_matmul``.
 
     flat_experts: [R] expert id per (token, k) pair, unsorted.
-    Returns (dest [R], tile_expert [Mp//tm], Mp) where ``dest[i]`` is the
-    padded-row position of sorted row i (rows sorted by expert), every
-    expert's rows start tm-aligned, and ``tile_expert`` names each m-tile's
-    expert (tiles past the occupied end clamp to the last expert; their rows
-    are zero). Mp is a static bound: R + E*(tm-1) rounded up to tm."""
+    Returns (sort_idx [R], dest [R], tile_expert [Mp//tm], num_occ [1], Mp)
+    where ``dest[i]`` is the padded-row position of sorted row i (rows sorted
+    by expert), every expert's rows start tm-aligned, ``tile_expert`` names
+    each m-tile's expert, and ``num_occ`` is the dynamic count of OCCUPIED
+    m-tiles — occupied tiles are a prefix, so the kernel skips compute and
+    freezes DMAs for tiles >= num_occ (the static grid is the worst case
+    Mp = R + E*(tm-1); with many experts and few rows most tiles are
+    padding). Mp is that static bound rounded up to tm."""
     R = flat_experts.shape[0]
     E = num_experts
     mp = ((R + E * (tm - 1)) + tm - 1) // tm * tm
@@ -72,11 +75,13 @@ def ragged_layout(flat_experts: jax.Array, num_experts: int, tm: int):
     tile_expert = jnp.clip(
         jnp.searchsorted(p_ends, tile_starts, side="right"), 0, E - 1
     ).astype(jnp.int32)
-    return sort_idx, dest, tile_expert, mp
+    num_occ = (p_ends[-1] // tm).astype(jnp.int32).reshape(1)
+    return sort_idx, dest, tile_expert, num_occ, mp
 
 
 def _kernel_ragged_w4(
     te_ref,      # [num_m_tiles] int32 tile -> expert (SMEM scalar prefetch)
+    occ_ref,     # [1] int32 occupied m-tile count (SMEM scalar prefetch)
     x_lo_ref,    # [TM, TKh]
     x_hi_ref,    # [TM, TKh]
     xs_ref,      # [TM, G] f32 per-group activation sums
@@ -92,31 +97,37 @@ def _kernel_ragged_w4(
 ):
     k = pl.program_id(2)
 
-    @pl.when(k == 0)
-    def _init():
-        acc_ref[...] = -jax.lax.dot(
-            xs_ref[...], sz_ref[0], preferred_element_type=jnp.float32
-        )
-
-    TKh = w_ref.shape[1]
-    gpb = TKh // group_size
-    w8 = w_ref[0]
-    lo = pltpu.bitcast(w8 & 0x0F, jnp.int8)
-    hi = pltpu.bitcast(w8 & 0xF0, jnp.int8)
-    for wq, x_ref, grow0 in ((lo, x_lo_ref, 0), (hi, x_hi_ref, k_half_groups)):
-        for g in range(gpb):
-            row = grow0 + k * gpb + g
-            pdot = jax.lax.dot_general(
-                x_ref[:, g * group_size : (g + 1) * group_size],
-                wq[g * group_size : (g + 1) * group_size, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    # tiles past the occupied prefix carry no rows: their DMAs are frozen to
+    # the last occupied tile's blocks (index maps below) and the whole body
+    # is skipped — the worst-case grid costs ~nothing when few experts own
+    # tokens (decode on many-expert models)
+    @pl.when(pl.program_id(1) < occ_ref[0])
+    def _active():
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = -jax.lax.dot(
+                xs_ref[...], sz_ref[0], preferred_element_type=jnp.float32
             )
-            acc_ref[...] += pdot * s_ref[0, row, :][None, :]
 
-    @pl.when(k == k_steps - 1)
-    def _done():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        TKh = w_ref.shape[1]
+        gpb = TKh // group_size
+        w8 = w_ref[0]
+        lo = pltpu.bitcast(w8 & 0x0F, jnp.int8)
+        hi = pltpu.bitcast(w8 & 0xF0, jnp.int8)
+        for wq, x_ref, grow0 in ((lo, x_lo_ref, 0), (hi, x_hi_ref, k_half_groups)):
+            for g in range(gpb):
+                row = grow0 + k * gpb + g
+                pdot = jax.lax.dot_general(
+                    x_ref[:, g * group_size : (g + 1) * group_size],
+                    wq[g * group_size : (g + 1) * group_size, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_ref[...] += pdot * s_ref[0, row, :][None, :]
+
+        @pl.when(k == k_steps - 1)
+        def _done():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 def w4a16_ragged_matmul(
@@ -125,9 +136,12 @@ def w4a16_ragged_matmul(
     scales: jax.Array,       # [E, G, N] f32
     zeros: jax.Array,        # [E, G, N] f32
     tile_expert: jax.Array,  # [Mp//TM] int32 expert of each m-tile
+    num_occ: jax.Array,      # [1] int32 occupied m-tile count (ragged_layout)
     interpret: bool = False,
 ) -> jax.Array:
-    """Grouped W4A16 matmul over group-aligned rows; returns [Mp, N]."""
+    """Grouped W4A16 matmul over group-aligned rows; returns [Mp, N].
+    Output rows in tiles >= num_occ are unwritten garbage the caller must
+    not read (ragged_layout's dest indices never point there)."""
     Mp, K = x.shape
     E, Kh, N = w_p.shape
     assert K == 2 * Kh, (K, Kh)
@@ -156,24 +170,33 @@ def w4a16_ragged_matmul(
 
     grid = (N // TN, num_m_tiles, k_steps)
 
-    def w_index(n, m, k, te):
-        return (te[m], k, n)
+    # tiles past the occupied prefix freeze every index to the last occupied
+    # tile's blocks: consecutive grid steps then revisit the same block and
+    # Pallas skips the DMA entirely (the kernel also pl.when-skips compute)
+    def _mm(m, occ):
+        return jnp.minimum(m, jnp.maximum(occ[0] - 1, 0))
 
-    def sz_index(n, m, k, te):
-        return (te[m], 0, n)
+    def _kk(m, k, occ):
+        return jnp.where(m < occ[0], k, k_steps - 1)
+
+    def w_index(n, m, k, te, occ):
+        return (te[_mm(m, occ)], _kk(m, k, occ), n)
+
+    def sz_index(n, m, k, te, occ):
+        return (te[_mm(m, occ)], 0, n)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, TKh), lambda n, m, k, te: (m, k)),       # x lo
-            pl.BlockSpec((TM, TKh), lambda n, m, k, te: (m, k)),       # x hi
-            pl.BlockSpec((TM, G), lambda n, m, k, te: (m, 0)),         # x sums
+            pl.BlockSpec((TM, TKh), lambda n, m, k, te, occ: (_mm(m, occ), _kk(m, k, occ))),  # x lo
+            pl.BlockSpec((TM, TKh), lambda n, m, k, te, occ: (_mm(m, occ), _kk(m, k, occ))),  # x hi
+            pl.BlockSpec((TM, G), lambda n, m, k, te, occ: (_mm(m, occ), 0)),  # x sums
             pl.BlockSpec((1, TKh, TN), w_index),
             pl.BlockSpec((1, G, TN), sz_index),
             pl.BlockSpec((1, G, TN), sz_index),
         ],
-        out_specs=pl.BlockSpec((TM, TN), lambda n, m, k, te: (m, n)),
+        out_specs=pl.BlockSpec((TM, TN), lambda n, m, k, te, occ: (_mm(m, occ), n)),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
     )
     out = pl.pallas_call(
@@ -194,5 +217,5 @@ def w4a16_ragged_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tile_expert, x[:, :Kh], x[:, Kh:], xs, w_p, s_eff, sz)
+    )(tile_expert, jnp.asarray(num_occ, jnp.int32), x[:, :Kh], x[:, Kh:], xs, w_p, s_eff, sz)
     return out

@@ -98,6 +98,15 @@ def int4_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+# On-wire packed-int4 format version. v2 = global-planar with the high plane
+# stored XOR 8 (MXU bitcast encoding); v1 (pre-XOR) is no longer produced.
+# Every independent producer of this layout (utils/quant_convert.
+# gptq_planar_qweight) must match pack_int4 bit-for-bit and assert against
+# this constant so a silent encoding change fails loudly instead of
+# dequantizing persisted/external artifacts into garbage weights.
+INT4_PACK_FORMAT = 2
+
+
 def pack_int4(w_nib: jax.Array) -> jax.Array:
     """Pack nibble weights [K, N] (values 0..15, int8) into uint8 [K/2, N]:
     GLOBAL-PLANAR layout — low nibbles hold rows [0, K/2), high nibbles rows

@@ -258,6 +258,7 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
 
         drivers = [asyncio.create_task(drive(i, a)) for i, a in enumerate(args)]
         finals = {}
+        emitted = set()  # choice indices that have sent at least one delta
         try:
             while len(finals) < n:
                 i, text, out, err = await q.get()
@@ -290,7 +291,14 @@ def build_app(engine: AsyncEngine, served_model: str, api_key: Optional[str] = N
                     metrics.observe_request(len(tokens), out)
                 else:
                     reasoning, content = parsers[i].feed(text)
-                    if reasoning or content:
+                    # forward the engine's first-chunk TTFT signal even when
+                    # the detokenizer/parser holds back all text (partial
+                    # UTF-8, open <think> tag): clients measure TTFT by the
+                    # first SSE chunk, so choice i's first step payload always
+                    # emits one (possibly empty) delta. /v1/completions does
+                    # the same in _stream_completion.
+                    if reasoning or content or i not in emitted:
+                        emitted.add(i)
                         await send(ChatCompletionStreamResponse(
                             id=rid,
                             model=req.model or served_model,

@@ -93,6 +93,41 @@ def unpack_gptq(
     return out
 
 
+_PACK_FORMAT_CHECKED = False
+
+
+def _assert_pack_format():
+    """One-time guard: this module re-derives ops.quant.pack_int4's on-wire
+    layout (INT4_PACK_FORMAT) without calling it; verify both the version
+    constant and an actual round-trip so a future encoding change in either
+    place fails loudly at first conversion instead of producing garbage
+    weights."""
+    global _PACK_FORMAT_CHECKED
+    if _PACK_FORMAT_CHECKED:
+        return
+    from ..ops.quant import INT4_PACK_FORMAT, pack_int4
+
+    if INT4_PACK_FORMAT != 2:
+        raise RuntimeError(
+            f"quant_convert implements packed-int4 format v2 but ops.quant "
+            f"declares v{INT4_PACK_FORMAT}; update gptq_planar_qweight"
+        )
+    probe = np.arange(16, dtype=np.int8).reshape(16, 1) % 16
+    ours = _planar_pack_reference(probe)
+    theirs = np.asarray(pack_int4(probe))
+    if not np.array_equal(ours, theirs):
+        raise RuntimeError("gptq_planar_qweight layout diverged from pack_int4")
+    _PACK_FORMAT_CHECKED = True
+
+
+def _planar_pack_reference(w_nib: np.ndarray) -> np.ndarray:
+    """Numpy mirror of ops.quant.pack_int4 (format v2) for the guard above."""
+    K = w_nib.shape[0]
+    lo = w_nib[: K // 2].astype(np.uint8)
+    hi = w_nib[K // 2 :].astype(np.uint8) ^ 8
+    return lo | (hi << 4)
+
+
 def gptq_planar_qweight(qweight: np.ndarray) -> np.ndarray:
     """GPTQ qweight int32 [K/8, N] -> planar-packed uint8 [K/2, N] directly.
 
@@ -103,6 +138,7 @@ def gptq_planar_qweight(qweight: np.ndarray) -> np.ndarray:
     valid when no act_order row permutation is needed."""
     import torch
 
+    _assert_pack_format()
     Kp, N = qweight.shape  # Kp = K/8
     half = Kp // 2
 

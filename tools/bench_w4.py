@@ -62,7 +62,7 @@ def profile_ms(f, *args):
 X = None
 
 
-def run(name, K, N, M=16, gs=128, variants=("packed", "bf16", "nibble")):
+def run(name, K, N, M=16, gs=128, variants=("packed", "bf16", "nibble"), quiet=False):
     global X
     rng = np.random.RandomState(0)
     X = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
@@ -106,10 +106,12 @@ def run(name, K, N, M=16, gs=128, variants=("packed", "bf16", "nibble")):
         if {"bf16", "packed"} <= res.keys()
         else ""
     )
-    print(
-        f"{name:26s} {parts}{ratio}  (rooflines 4b ~{roof4:.3f}, bf16 ~{roof16:.3f})",
-        flush=True,
-    )
+    if not quiet:
+        print(
+            f"{name:26s} {parts}{ratio}  (rooflines 4b ~{roof4:.3f}, bf16 ~{roof16:.3f})",
+            flush=True,
+        )
+    return res
 
 
 SHAPES = {
@@ -123,8 +125,23 @@ if __name__ == "__main__":
     ap.add_argument("--m", type=int, default=16)
     ap.add_argument("--shapes", default="72b-qkv,72b-ffn,8b-ffn")
     ap.add_argument("--variants", default="packed,bf16,nibble")
+    ap.add_argument(
+        "--json", action="store_true",
+        help="print ONE JSON line: per-shape ms per variant + packed/bf16 ratio",
+    )
     args = ap.parse_args()
-    print("backend:", jax.default_backend(), flush=True)
+    if not args.json:
+        print("backend:", jax.default_backend(), flush=True)
+    out = {}
     for key in args.shapes.split(","):
         name, K, N = SHAPES[key]
-        run(name, K, N, M=args.m, variants=tuple(args.variants.split(",")))
+        res = run(
+            name, K, N, M=args.m, variants=tuple(args.variants.split(",")),
+            quiet=args.json,
+        )
+        row = {k: round(v, 3) for k, v in res.items()}
+        if {"bf16", "packed"} <= res.keys():
+            row["speedup_vs_bf16"] = round(res["bf16"] / res["packed"], 2)
+        out[key] = row
+    if args.json:
+        print(json.dumps(out), flush=True)

@@ -179,12 +179,13 @@ def _adapt_minicpm(cfg: dict) -> ModelConfig:
     logits scaled by dim_model/dim_model_base).
     """
     f = _base_fields(cfg)
+    # MiniCPM checkpoints omit tie_word_embeddings but always tie
+    f["tie_lm_head"] = cfg.get("tie_word_embeddings", True)
     return ModelConfig(
         **f,
         scale_emb=float(cfg.get("scale_emb", 1.0)),
         scale_depth=float(cfg.get("scale_depth", 1.0)),
         dim_model_base=cfg.get("dim_model_base", 0),
-        tie_lm_head=cfg.get("tie_word_embeddings", True),
     )
 
 

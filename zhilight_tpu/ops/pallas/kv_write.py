@@ -691,94 +691,105 @@ def _flush_side_kernel_hm(
     side,         # [B, Hkv, Kw, X] VMEM: per-slot window rows
     c_in,
     c_out,        # [Hkv, N, X] pool (aliased)
-    pbuf,         # [B, 2, Hkv, S, X] VMEM page staging
-    sems,         # DMA sems [B, 2]
+    pbuf,         # [G, 2, Hkv, S, X] VMEM page staging (G slots at a time)
+    sems,         # DMA sems [G, 2]
     *,
     B: int,
     S: int,
     Kw: int,
+    G: int,
 ):
     """Write each slot's up-to-Kw contiguous window rows into its <=2 pool
-    pages with one page RMW per run: all page reads start first, each page
-    then merges its rows via a [S, Kw] selection-matrix dot (the
-    Mosaic-friendly dynamic row shift) and writes back. Pages of different
-    slots never alias (each page belongs to one sequence), so the RMWs are
-    race-free."""
+    pages with one page RMW per run: all page reads of a slot group start
+    first, each page then merges its rows via a [S, Kw] selection-matrix dot
+    (the Mosaic-friendly dynamic row shift) and writes back. Pages of
+    different slots never alias (each page belongs to one sequence), so the
+    RMWs are race-free. Slots are processed G at a time so the staging
+    scratch stays within the scoped-VMEM budget at any page size (B pages
+    at once overflowed it at S >= 64)."""
     del c_in
 
     def page_of(start):
         return (start // S) * S
 
-    for b in range(B):
-        @pl.when(lens1_ref[b] > 0)
-        def _():
-            pltpu.make_async_copy(
-                c_out.at[:, pl.ds(page_of(starts1_ref[b]), S)],
-                pbuf.at[b, 0],
-                sems.at[b, 0],
-            ).start()
-        @pl.when(lens2_ref[b] > 0)
-        def _():
-            pltpu.make_async_copy(
-                c_out.at[:, pl.ds(page_of(starts2_ref[b]), S)],
-                pbuf.at[b, 1],
-                sems.at[b, 1],
-            ).start()
+    for g0 in range(0, B, G):
+        group = range(g0, min(g0 + G, B))
+        for b in group:
+            gb = b - g0
+            @pl.when(lens1_ref[b] > 0)
+            def _():
+                pltpu.make_async_copy(
+                    c_out.at[:, pl.ds(page_of(starts1_ref[b]), S)],
+                    pbuf.at[gb, 0],
+                    sems.at[gb, 0],
+                ).start()
+            @pl.when(lens2_ref[b] > 0)
+            def _():
+                pltpu.make_async_copy(
+                    c_out.at[:, pl.ds(page_of(starts2_ref[b]), S)],
+                    pbuf.at[gb, 1],
+                    sems.at[gb, 1],
+                ).start()
 
-    for b in range(B):
-        rows_b = side[b]  # [Hkv, Kw, X]
+        for b in group:
+            gb = b - g0
+            rows_b = side[b]  # [Hkv, Kw, X]
 
-        def merge_run(r, start, j0, length):
-            pltpu.make_async_copy(
-                c_out.at[:, pl.ds(page_of(start), S)], pbuf.at[b, r], sems.at[b, r]
-            ).wait()
-            off = start - page_of(start)
-            # sel[s, j] = 1 where pool row s receives side column j
-            s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S, Kw), 1)
-            j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S, Kw), 2)
-            hit = (s_iota - off == j_iota - j0) & (j_iota >= j0) & (
-                j_iota < j0 + length
-            )
-            sel = jnp.broadcast_to(
-                jnp.where(hit, 1.0, 0.0).astype(rows_b.dtype),
-                (rows_b.shape[0], S, Kw),
-            )
-            # int8 pools need an int accumulator (Mosaic rejects float acc
-            # with int operands); 0/1 selection x int8 rows is exact in i32
-            acc_t = jnp.int32 if rows_b.dtype == jnp.int8 else jnp.float32
-            upd = jax.lax.dot_general(
-                sel, rows_b, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=acc_t,
-            )  # [Hkv, S, X]
-            row_hit = (s_iota[..., :1] >= off) & (s_iota[..., :1] < off + length)
-            pbuf[b, r] = jnp.where(row_hit, upd.astype(pbuf.dtype), pbuf[b, r])
-            pltpu.make_async_copy(
-                pbuf.at[b, r], c_out.at[:, pl.ds(page_of(start), S)], sems.at[b, r]
-            ).start()
+            def merge_run(r, start, j0, length):
+                pltpu.make_async_copy(
+                    c_out.at[:, pl.ds(page_of(start), S)], pbuf.at[gb, r],
+                    sems.at[gb, r],
+                ).wait()
+                off = start - page_of(start)
+                # sel[s, j] = 1 where pool row s receives side column j
+                s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S, Kw), 1)
+                j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S, Kw), 2)
+                hit = (s_iota - off == j_iota - j0) & (j_iota >= j0) & (
+                    j_iota < j0 + length
+                )
+                sel = jnp.broadcast_to(
+                    jnp.where(hit, 1.0, 0.0).astype(rows_b.dtype),
+                    (rows_b.shape[0], S, Kw),
+                )
+                # int8 pools need an int accumulator (Mosaic rejects float acc
+                # with int operands); 0/1 selection x int8 rows is exact in i32
+                acc_t = jnp.int32 if rows_b.dtype == jnp.int8 else jnp.float32
+                upd = jax.lax.dot_general(
+                    sel, rows_b, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=acc_t,
+                )  # [Hkv, S, X]
+                row_hit = (s_iota[..., :1] >= off) & (s_iota[..., :1] < off + length)
+                pbuf[gb, r] = jnp.where(row_hit, upd.astype(pbuf.dtype), pbuf[gb, r])
+                pltpu.make_async_copy(
+                    pbuf.at[gb, r], c_out.at[:, pl.ds(page_of(start), S)],
+                    sems.at[gb, r],
+                ).start()
 
-        @pl.when(lens1_ref[b] > 0)
-        def _():
-            merge_run(0, starts1_ref[b], 0, lens1_ref[b])
+            @pl.when(lens1_ref[b] > 0)
+            def _():
+                merge_run(0, starts1_ref[b], 0, lens1_ref[b])
 
-        @pl.when(lens2_ref[b] > 0)
-        def _():
-            merge_run(1, starts2_ref[b], lens1_ref[b], lens2_ref[b])
+            @pl.when(lens2_ref[b] > 0)
+            def _():
+                merge_run(1, starts2_ref[b], lens1_ref[b], lens2_ref[b])
 
-    for b in range(B):
-        @pl.when(lens1_ref[b] > 0)
-        def _():
-            pltpu.make_async_copy(
-                c_out.at[:, pl.ds(page_of(starts1_ref[b]), S)],
-                pbuf.at[b, 0],
-                sems.at[b, 0],
-            ).wait()
-        @pl.when(lens2_ref[b] > 0)
-        def _():
-            pltpu.make_async_copy(
-                c_out.at[:, pl.ds(page_of(starts2_ref[b]), S)],
-                pbuf.at[b, 1],
-                sems.at[b, 1],
-            ).wait()
+        # drain the group's write-backs before its pbuf rows are reused
+        for b in group:
+            gb = b - g0
+            @pl.when(lens1_ref[b] > 0)
+            def _():
+                pltpu.make_async_copy(
+                    c_out.at[:, pl.ds(page_of(starts1_ref[b]), S)],
+                    pbuf.at[gb, 0],
+                    sems.at[gb, 0],
+                ).wait()
+            @pl.when(lens2_ref[b] > 0)
+            def _():
+                pltpu.make_async_copy(
+                    c_out.at[:, pl.ds(page_of(starts2_ref[b]), S)],
+                    pbuf.at[gb, 1],
+                    sems.at[gb, 1],
+                ).wait()
 
 
 @dedup_jit(5)
@@ -805,6 +816,12 @@ def flush_side_rows_hm(
         entry_pos, n_rows, page_tables, S
     )
 
+    # slot-group size: stage at most ~6 MB of pages at once so the scratch
+    # fits the scoped-VMEM budget at any page size (S >= 64 with all B slots
+    # staged exceeded the 16 MB limit)
+    page_bytes = 2 * Hkv * S * X * pool.dtype.itemsize
+    G = max(1, min(B, (6 << 20) // max(page_bytes, 1)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(1,),
@@ -814,12 +831,12 @@ def flush_side_rows_hm(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((B, 2, Hkv, S, X), pool.dtype),
-            pltpu.SemaphoreType.DMA((B, 2)),
+            pltpu.VMEM((G, 2, Hkv, S, X), pool.dtype),
+            pltpu.SemaphoreType.DMA((G, 2)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_flush_side_kernel_hm, B=B, S=S, Kw=Kw),
+        functools.partial(_flush_side_kernel_hm, B=B, S=S, Kw=Kw, G=G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
         input_output_aliases={5: 0},  # scalars 0-3, side=4, pool=5

@@ -174,3 +174,110 @@ def test_moe_layer_fused_matches_fallback(monkeypatch):
     # the fused kernel is MORE precise than the fallback (it never rounds
     # dequantized weights to bf16); differences are fallback rounding noise
     np.testing.assert_allclose(fused, ref, rtol=0.05, atol=0.03)
+
+
+def test_moe_layer_quant_expert_parallel(monkeypatch):
+    """EP mesh (VERDICT r3 #4): the fused W4A16 grouped kernel runs per
+    expert shard — parity vs the unsharded layer, no expert-weight-sized
+    collectives, and no bf16 expert-stack materialization in the HLO."""
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from zhilight_tpu.config import ModelConfig
+    from zhilight_tpu.config.model_config import MoEConfig
+    from zhilight_tpu.models import moe as M
+    from zhilight_tpu.parallel import enable_kernel_partitioning
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:4]), ("tp",))
+
+    cfg = ModelConfig(
+        model_type="qwen2_moe",
+        num_layers=1,
+        dim_model=256,
+        num_heads=4,
+        dim_head=64,
+        num_kv_heads=4,
+        dim_ff=256,
+        vocab_size=64,
+        dtype="float32",
+        moe=MoEConfig(
+            num_experts=8,
+            top_k=2,
+            intermediate_size=256,
+            scoring_func="softmax",
+            topk_method="greedy",
+            norm_topk_prob=True,
+        ),
+    )
+    rng = np.random.RandomState(11)
+    E, D, F = 8, 256, 256
+    gs = 128
+
+    def qproj(K, N):
+        nib = rng.randint(0, 16, size=(E, K, N)).astype(np.int8)
+        G = K // gs
+        return {
+            "w_p": pack_expert_int4(jnp.asarray(nib)),
+            "scales": jnp.asarray((rng.rand(E, G, N) * 0.02 + 0.01), jnp.float32),
+            "zeros": jnp.asarray(np.full((E, G, N), 8.0), jnp.float32),
+        }
+
+    p = {
+        "router": {"w": jnp.asarray(rng.randn(D, E) * 0.1, jnp.float32)},
+        "experts": {
+            "gate_proj": qproj(D, F),
+            "up_proj": qproj(D, F),
+            "down_proj": qproj(F, D),
+        },
+    }
+    T = 16
+    x_host = jnp.asarray(rng.randn(T, D) * 0.5, jnp.bfloat16)
+
+    monkeypatch.setenv("ZT_PALLAS_INTERPRET", "1")
+    # unsharded reference through the same fused (interpret) kernel
+    want = np.asarray(M.moe_layer(p, cfg, x_host), np.float32)
+
+    espec = NamedSharding(mesh, P("tp", None, None))
+    rep = NamedSharding(mesh, P())
+    p_sh = {
+        "router": {"w": jax.device_put(p["router"]["w"], rep)},
+        "experts": {
+            proj: {k: jax.device_put(v, espec) for k, v in d.items()}
+            for proj, d in p["experts"].items()
+        },
+    }
+    x = jax.device_put(x_host, rep)
+
+    enable_kernel_partitioning(True)
+    try:
+        with jax.set_mesh(mesh):
+            fn = jax.jit(lambda p, x: M.moe_layer(p, cfg, x))
+            hlo = fn.lower(p_sh, x).compile().as_text()
+            got = np.asarray(jax.device_get(fn(p_sh, x)), np.float32)
+    finally:
+        enable_kernel_partitioning(False)
+
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    # collectives must be token-sized, not expert-weight-sized
+    big = []
+    for mt in re.finditer(r"(all-gather|all-to-all)[^=]*= \w+\[([\d,]*)\]", hlo):
+        dims = [int(d) for d in mt.group(2).split(",") if d]
+        elems = int(np.prod(dims)) if dims else 1
+        if elems > T * D * 8:
+            big.append(mt.group(0))
+    assert not big, "expert-scale collective found:\n" + "\n".join(big)
+
+    # no bf16/f32 dequantized expert stack may appear anywhere: the largest
+    # dense buffer of one shard's stack would be E/4 * K * N elements
+    stack_elems = (E // 4) * D * F
+    fat = [
+        mt.group(0)
+        for mt in re.finditer(r"(bf16|f32)\[([\d,]+)\][^ ]* (?:convert|multiply)", hlo)
+        if int(np.prod([int(d) for d in mt.group(2).split(",")])) >= stack_elems
+    ]
+    assert not fat, "dequantized expert stack materialized:\n" + "\n".join(fat[:3])

@@ -106,7 +106,9 @@ def _ragged_tile(num_rows: int) -> int:
 def _use_quant_ragged(p_experts: Params) -> bool:
     """Route to the fused W4A16 grouped kernel (reference GPTQMOE/DeepGEMM
     class, feedforward.cpp:967-1075): expert weights stream at 4 bits/weight
-    with per-tile dequant in VMEM — no bf16 [E, K, N] stack per forward."""
+    with per-tile dequant in VMEM — no bf16 [E, K, N] stack per forward.
+    On tp/ep meshes the call goes through the expert-sharded SPMD wrapper
+    (ops/pallas/partitioned.w4a16_moe_experts_sharded)."""
     import os
 
     if os.environ.get("ZT_NO_PALLAS") == "1":
@@ -114,10 +116,6 @@ def _use_quant_ragged(p_experts: Params) -> bool:
     on_tpu = jax.default_backend() == "tpu"
     if not (on_tpu or os.environ.get("ZT_PALLAS_INTERPRET") == "1"):
         return False
-    from ..parallel import kernel_partitioning_enabled
-
-    if kernel_partitioning_enabled():
-        return False  # EP meshes keep the dequant path (no SPMD rule yet)
     for proj in p_experts.values():
         wp = proj.get("w_p")
         if wp is None or wp.dtype != jnp.uint8:
@@ -130,48 +128,74 @@ def _use_quant_ragged(p_experts: Params) -> bool:
     return True
 
 
-def _grouped_experts_quant(
-    p_experts: Params,
-    x: jax.Array,            # [T, D] raw token activations
-    flat_experts: jax.Array, # [T*K] expert of each (token, k) pair
-    top_k: int,
-    num_experts: int,
-    act: str,
-):
-    """Fused quantized grouped experts: group-aligned padded rows shared by
-    all three projections. Returns (out_sorted [T*K, D], sort_idx,
-    token_idx) in sorted-by-expert row order."""
+def _pallas_interpret() -> bool:
     import os
 
-    from ..ops.pallas.quant_ragged import ragged_layout, w4a16_ragged_matmul
-
-    interpret = (
+    return (
         jax.default_backend() != "tpu"
         and os.environ.get("ZT_PALLAS_INTERPRET") == "1"
     )
-    R = flat_experts.shape[0]
+
+
+def quant_experts_contribution(
+    x: jax.Array,            # [T, D] raw token activations
+    flat_experts: jax.Array, # [R = T*K] GLOBAL expert of each (token, k) pair
+    pair_weights: jax.Array, # [R] f32 routing weight per pair
+    expert_arrays,           # flat (w_p, scales, zeros) per proj, loader order
+    fused: bool,             # True => [gate_up, down]; else [gate, up, down]
+    top_k: int,
+    e0,                      # first expert id held locally (0 when unsharded)
+    act: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """Weighted scatter-added contribution [T, D] of experts
+    [e0, e0 + E_local): the single code path behind both the unsharded
+    forward and each expert-parallel shard's lower_fn (reference
+    MOE_EXP_PARALLEL: every rank computes its local experts for all routed
+    tokens, then all-reduces; feedforward.cpp:251-267).
+
+    Remote-expert pairs route into an overflow bucket past the occupied
+    tiles — never computed, never indexed into the local stacks — and their
+    (unwritten, possibly non-finite) output rows are masked with ``where``
+    before the scatter."""
+    from ..ops.pallas.quant_ragged import ragged_layout, w4a16_ragged_matmul
+
+    T, D = x.shape
+    E_local = expert_arrays[0].shape[0]
+    local = flat_experts - e0
+    valid = (local >= 0) & (local < E_local)
+    bucket = jnp.where(valid, local, E_local).astype(jnp.int32)
+    R = bucket.shape[0]
     TM = _ragged_tile(R)
     sort_idx, dest, tile_expert, num_occ, mp = ragged_layout(
-        flat_experts, num_experts, TM
+        bucket, E_local + 1, TM, occ_experts=E_local
     )
     token_idx = sort_idx // top_k
-    xp = jnp.zeros((mp, x.shape[1]), x.dtype).at[dest].set(x[token_idx])
+    xp = jnp.zeros((mp, D), x.dtype).at[dest].set(x[token_idx])
 
-    def mm(proj, xin):
+    def mm(i, xin):
+        w_p, scales, zeros = expert_arrays[3 * i : 3 * i + 3]
         return w4a16_ragged_matmul(
-            xin, proj["w_p"], proj["scales"], proj["zeros"], tile_expert,
-            num_occ, interpret=interpret,
+            xin, w_p, scales, zeros, tile_expert, num_occ, interpret=interpret
         )
 
-    if "gate_up_proj" in p_experts:
-        gu = mm(p_experts["gate_up_proj"], xp)
-        g, u = jnp.split(gu, 2, axis=-1)
+    if fused:
+        g, u = jnp.split(mm(0, xp), 2, axis=-1)
+        down_i = 1
     else:
-        g = mm(p_experts["gate_proj"], xp)
-        u = mm(p_experts["up_proj"], xp)
+        g = mm(0, xp)
+        u = mm(1, xp)
+        down_i = 2
     h = gated_act(g, u, act)
-    down = mm(p_experts["down_proj"], h)
-    return down[dest].astype(x.dtype), sort_idx, token_idx
+    down = mm(down_i, h)
+
+    out_sorted = down[dest]
+    wv = pair_weights.astype(jnp.float32)[sort_idx]
+    keep = valid[sort_idx][:, None]
+    out_sorted = jnp.where(
+        keep, out_sorted.astype(jnp.float32) * wv[:, None], 0.0
+    )
+    return jnp.zeros((T, D), jnp.float32).at[token_idx].add(out_sorted)
 
 
 def _grouped_experts(
@@ -205,10 +229,32 @@ def moe_layer(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
     # sort token-expert pairs by expert id -> grouped GEMM layout
     flat_experts = expert_ids.reshape(-1)  # [T*K]
+    pair_w = weights.reshape(-1)           # [T*K] f32
     if _use_quant_ragged(p["experts"]):
-        out_sorted, sort_idx, token_idx = _grouped_experts_quant(
-            p["experts"], x, flat_experts, K, E, cfg.activate_fn
+        from ..parallel import kernel_partitioning_enabled
+
+        fused = "gate_up_proj" in p["experts"]
+        names = ("gate_up_proj", "down_proj") if fused else (
+            "gate_proj", "up_proj", "down_proj"
         )
+        arrs = []
+        for nm in names:
+            pr = p["experts"][nm]
+            arrs += [pr["w_p"], pr["scales"], pr["zeros"]]
+        if kernel_partitioning_enabled():
+            # expert-sharded meshes: per-shard local experts + psum
+            from ..ops.pallas.partitioned import w4a16_moe_experts_sharded
+
+            routed = w4a16_moe_experts_sharded(
+                x, flat_experts, pair_w, arrs, fused, K, cfg.activate_fn,
+                interpret=_pallas_interpret(),
+            )
+        else:
+            routed = quant_experts_contribution(
+                x, flat_experts, pair_w, arrs, fused, K, 0, cfg.activate_fn,
+                interpret=_pallas_interpret(),
+            )
+        routed = routed.astype(x.dtype)
     else:
         sort_idx = jnp.argsort(flat_experts)
         token_idx = sort_idx // K  # original token of each sorted row
@@ -217,10 +263,9 @@ def moe_layer(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
         out_sorted = _grouped_experts(
             p["experts"], x_sorted, group_sizes, cfg.activate_fn
         )
-    out_sorted = out_sorted * weights.reshape(-1)[sort_idx][:, None].astype(out_sorted.dtype)
-
-    routed = jnp.zeros((T, D), out_sorted.dtype).at[token_idx].add(out_sorted)
-    routed = routed.astype(x.dtype)
+        out_sorted = out_sorted * pair_w[sort_idx][:, None].astype(out_sorted.dtype)
+        routed = jnp.zeros((T, D), out_sorted.dtype).at[token_idx].add(out_sorted)
+        routed = routed.astype(x.dtype)
 
     if "shared_expert" in p:
         from .llama import dense_mlp

@@ -330,6 +330,74 @@ def paged_mla_decode_sharded(
     return f(q_eff, latent_pool, page_tables, context_lens)
 
 
+def w4a16_moe_experts_sharded(
+    x, flat_experts, pair_weights, expert_arrays, fused, top_k, act,
+    interpret=False,
+):
+    """Fused W4A16 grouped MoE experts under expert-sharded meshes
+    (reference GPTQMOE composed with MOE_EXP_PARALLEL,
+    src/nn/feedforward/feedforward.cpp:251-267,967-1075).
+
+    The expert stacks ``(w_p, scales, zeros)`` per projection shard their
+    leading expert dim; every shard runs the ragged quant kernel over its
+    LOCAL experts for all routed (token, k) pairs — remote pairs fall into
+    the layout's overflow bucket and cost nothing — then contributes via
+    psum. Communication is one [T, D] all-reduce per MoE layer (token-sized),
+    never expert-weight-sized; expert bytes stream locally at 4 bits/weight.
+
+    ``expert_arrays``: [gate_up|gate, (up,) down] x (w_p, scales, zeros).
+    Returns the weighted routed output [T, D] fp32.
+    """
+    from ...models.moe import quant_experts_contribution
+
+    def _impl(x, fe, pw, *ws):
+        return quant_experts_contribution(
+            x, fe, pw, ws, fused, top_k, 0, act, interpret=interpret
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        espec = arg_shapes[3].sharding.spec  # w_p of the first projection
+        axis = espec[0] if len(espec) > 0 else None
+
+        def lower_fn(x, fe, pw, *ws):
+            if axis is None:
+                return quant_experts_contribution(
+                    x, fe, pw, ws, fused, top_k, 0, act, interpret=interpret
+                )
+            names = axis if isinstance(axis, tuple) else (axis,)
+            idx = jax.lax.axis_index(names[0])
+            for nm in names[1:]:
+                idx = idx * mesh.shape[nm] + jax.lax.axis_index(nm)
+            e0 = idx * ws[0].shape[0]
+            local = quant_experts_contribution(
+                x, fe, pw, ws, fused, top_k, e0, act, interpret=interpret
+            )
+            return jax.lax.psum(local, names)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    if fused:
+        rule = (
+            "t d, r, r, e k1 n1, e g1 n1, e h1 n1, e k2 d, e g2 d, e h2 d -> t d"
+        )
+        reps = ("t", "d", "r", "k1", "n1", "g1", "h1", "k2", "g2", "h2")
+    else:
+        rule = (
+            "t d, r, r, e k1 n1, e g1 n1, e h1 n1, e k3 n3, e g3 n3, e h3 n3, "
+            "e k2 d, e g2 d, e h2 d -> t d"
+        )
+        reps = (
+            "t", "d", "r", "k1", "n1", "g1", "h1", "k3", "n3", "g3", "h3",
+            "k2", "g2", "h2",
+        )
+    f.def_partition(
+        partition, sharding_rule=rule, need_replication_factors=reps
+    )
+    return f(x, flat_experts, pair_weights, *expert_arrays)
+
+
 def write_rows_2d_sharded(pool, rows, slot_mapping, page_size, interpret=False):
     """write_rows_2d with an SPMD rule: the 2-D (latent) pool is replicated,
     so every shard applies the identical row writes to its replica."""

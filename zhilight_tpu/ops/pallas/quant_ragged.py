@@ -47,7 +47,8 @@ def pack_expert_int4(w_nib: jax.Array) -> jax.Array:
     return lo | (hi << 4)
 
 
-def ragged_layout(flat_experts: jax.Array, num_experts: int, tm: int):
+def ragged_layout(flat_experts: jax.Array, num_experts: int, tm: int,
+                  occ_experts: int = 0):
     """Group-aligned padded row layout for ``w4a16_ragged_matmul``.
 
     flat_experts: [R] expert id per (token, k) pair, unsorted.
@@ -58,7 +59,13 @@ def ragged_layout(flat_experts: jax.Array, num_experts: int, tm: int):
     m-tiles — occupied tiles are a prefix, so the kernel skips compute and
     freezes DMAs for tiles >= num_occ (the static grid is the worst case
     Mp = R + E*(tm-1); with many experts and few rows most tiles are
-    padding). Mp is that static bound rounded up to tm."""
+    padding). Mp is that static bound rounded up to tm.
+
+    ``occ_experts`` (if non-zero) counts only the first ``occ_experts``
+    groups toward ``num_occ`` and caps ``tile_expert`` there: expert-parallel
+    shards route remote-expert rows into trailing OVERFLOW buckets that must
+    never be computed nor indexed into the local [E_local, ...] weight
+    stacks (their output rows stay unwritten; callers mask them)."""
     R = flat_experts.shape[0]
     E = num_experts
     mp = ((R + E * (tm - 1)) + tm - 1) // tm * tm
@@ -72,10 +79,12 @@ def ragged_layout(flat_experts: jax.Array, num_experts: int, tm: int):
     rank = jnp.arange(R) - starts[es]
     dest = p_starts[es] + rank
     tile_starts = jnp.arange(mp // tm, dtype=jnp.int32) * tm
+    cap = (occ_experts or E) - 1
     tile_expert = jnp.clip(
-        jnp.searchsorted(p_ends, tile_starts, side="right"), 0, E - 1
+        jnp.searchsorted(p_ends, tile_starts, side="right"), 0, cap
     ).astype(jnp.int32)
-    num_occ = (p_ends[-1] // tm).astype(jnp.int32).reshape(1)
+    occ_end = p_ends[occ_experts - 1] if occ_experts else p_ends[-1]
+    num_occ = (occ_end // tm).astype(jnp.int32).reshape(1)
     return sort_idx, dest, tile_expert, num_occ, mp
 
 

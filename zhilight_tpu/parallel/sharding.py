@@ -57,6 +57,16 @@ _RULES = [
     # reference MOE_EXP_PARALLEL, feedforward.cpp:251-262)
     (r"\.mlp\.experts\.(gate_proj|up_proj|gate_up_proj)\.w$", P(TP_AXIS, None, None)),
     (r"\.mlp\.experts\.down_proj\.w$", P(TP_AXIS, None, None)),
+    # quantized expert stacks shard the expert dim too (reference GPTQMOE
+    # composed with MOE_EXP_PARALLEL, feedforward.cpp:251-267,967-1075)
+    (
+        r"\.mlp\.experts\.(gate_proj|up_proj|gate_up_proj|down_proj)\.(w_p|scales|zeros)$",
+        P(TP_AXIS, None, None),
+    ),
+    (
+        r"\.mlp\.experts\.(gate_proj|up_proj|gate_up_proj|down_proj)\.(g_idx|perm)$",
+        P(TP_AXIS, None),
+    ),
     (r"\.mlp\.router\.", REP),
     (r"\.mlp\.shared_expert(_gate)?\.(gate_proj|up_proj|gate_up_proj)\.w$", COL),
     (r"\.mlp\.shared_expert\.down_proj\.w$", ROW),

@@ -66,6 +66,10 @@ def main():
         prompt_tokens = np.random.RandomState(0).randint(2, 1000, PROMPT).astype(np.int32)
         sp1 = SamplingParams.greedy(4)
 
+        pt_host = np.full(ex.max_pages_per_seq, -1, np.int32)
+        pt_host[:n_pages] = pages
+        pages_dev = jnp.asarray(pt_host)
+
         def prefill_once():
             for c in range(n_chunks):
                 start = c * CHUNK
@@ -73,22 +77,20 @@ def main():
                 bucket = ex.pick_bucket(chunk)
                 toks = np.zeros(bucket, np.int32)
                 toks[:chunk] = prompt_tokens[start : start + chunk]
-                pos = np.zeros(bucket, np.int32)
-                pos[:chunk] = np.arange(start, start + chunk)
-                slots = np.full(bucket, -1, np.int32)
-                slots[:chunk] = np.arange(start, start + chunk)
-                pt = np.full(ex.max_pages_per_seq, -1, np.int32)
-                pt[:n_pages] = pages
-                meta = PrefillMeta(
-                    positions=jnp.asarray(pos),
-                    slot_mapping=jnp.asarray(slots),
-                    page_table=jnp.asarray(pt),
-                    cache_len=jnp.int32(start),
-                    q_len=jnp.int32(chunk),
-                )
                 if c + 1 < n_chunks:
-                    ex.run_chunk(toks, meta)
+                    ex.run_chunk_fused(toks, pages_dev, start, chunk)
                 else:
+                    pos = np.zeros(bucket, np.int32)
+                    pos[:chunk] = np.arange(start, start + chunk)
+                    slots = np.full(bucket, -1, np.int32)
+                    slots[:chunk] = np.arange(start, start + chunk)
+                    meta = PrefillMeta(
+                        positions=jnp.asarray(pos),
+                        slot_mapping=jnp.asarray(slots),
+                        page_table=pages_dev,
+                        cache_len=jnp.int32(start),
+                        q_len=jnp.int32(chunk),
+                    )
                     tok, _, _, _ = ex.run_prefill(toks, meta, sp1, 0, 0)
             return tok
 

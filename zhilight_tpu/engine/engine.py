@@ -96,12 +96,14 @@ class ModelExecutor:
 
         # pipeline parallelism: layer stages over the pp mesh axis
         # (models/pipeline.py shard_map; reference partition_layer_devices,
-        # allocate_util.hpp:12-22). Memory-capacity lever — composes with
-        # neither tp nor dp for now (reference recommends TP first; so do we).
+        # allocate_util.hpp:12-22). Composes with tp — pp groups OF tp ranks
+        # like the reference (world_size=tp, pp_size=total/tp,
+        # engine.cpp:94-106) — via partial-manual shard_map (pp manual,
+        # tp auto). dp is not composed with pp.
         self.pp = dict(self.mesh.shape).get("pp", pcfg.pp)
         if self.pp > 1:
-            if pcfg.tp > 1 or pcfg.dp > 1:
-                raise NotImplementedError("pp composes with tp/dp later; use pp alone")
+            if pcfg.dp > 1:
+                raise NotImplementedError("pp does not compose with dp; use tp")
             if not stacked_mod.is_stackable(cfg):
                 raise ValueError("pipeline parallelism needs homogeneous layers")
             if cfg.num_layers % self.pp:
@@ -281,11 +283,14 @@ class ModelExecutor:
             packed = _use_packed(cfg.dim_head, quantized)
             if self.pp > 1:
                 # PP shards the SLOT dim (layer-major slots: each stage's
-                # layers form a contiguous slot range, models/pipeline.py)
+                # layers form a contiguous slot range, models/pipeline.py);
+                # the KV-head dim shards over tp as usual when composing
                 from ..models.pipeline import PP_AXIS
 
-                kv_spec = P(None, PP_AXIS, None) if packed else P(PP_AXIS, None, None)
-                scale_spec = P(PP_AXIS, None)
+                kv_spec = (
+                    P(TP_AXIS, PP_AXIS, None) if packed else P(PP_AXIS, TP_AXIS, None)
+                )
+                scale_spec = P(PP_AXIS, TP_AXIS)
             else:
                 kv_spec = P(TP_AXIS, None, None) if packed else P(None, TP_AXIS, None)
                 scale_spec = P(None, TP_AXIS)
@@ -335,6 +340,57 @@ class ModelExecutor:
             return cache
 
         return chunk_step
+
+    def _chunk_fused_fn(self, bucket: int):
+        """Chunk program that builds its PrefillMeta ON DEVICE from
+        (pages, [start, chunk]): the per-chunk host->device traffic drops
+        from ~5 small arrays to tokens + one 2-int array, which matters when
+        every transfer pays a dispatch round trip (measured ~120 ms of the
+        3.7k-prompt TTFT was host gaps between chunk dispatches)."""
+        cfg, rope = self.cfg, self.rope
+        S = self.page_size
+
+        @functools.partial(
+            jax.jit, donate_argnums=(2,), out_shardings=self._cache_fmt
+        )
+        def chunk_fused(params, tokens, cache, pages, sc):
+            start, chunk = sc[0], sc[1]
+            i = jnp.arange(bucket, dtype=jnp.int32)
+            pos = jnp.where(i < chunk, start + i, 0)
+            page = pages[jnp.clip(pos // S, 0, pages.shape[0] - 1)]
+            slots = jnp.where((i < chunk) & (page >= 0), page * S + pos % S, -1)
+            meta = PrefillMeta(
+                positions=pos,
+                slot_mapping=slots,
+                page_table=pages,
+                cache_len=start,
+                q_len=chunk,
+            )
+            _, cache = llama_mod.backbone(
+                params, cfg, rope, tokens, meta.positions, cache, meta, "prefill"
+            )
+            return cache
+
+        return chunk_fused
+
+    @property
+    def supports_fused_chunk(self) -> bool:
+        """On-device meta construction needs the per-layer llama path and
+        default (arange) positions."""
+        return not self.stacked and self.pp == 1
+
+    def run_chunk_fused(self, tokens: np.ndarray, pages_dev, start: int, chunk: int):
+        """run_chunk with device-side meta construction. ``pages_dev`` is the
+        sequence's FULL padded page table already on device."""
+        bucket = tokens.shape[0]
+        fn = self._get(("chunk_fused", bucket), lambda: self._chunk_fused_fn(bucket))
+        self.cache = fn(
+            self.params,
+            jnp.asarray(tokens),
+            self.cache,
+            pages_dev,
+            jnp.asarray(np.array([start, chunk], np.int32)),
+        )
 
     def _prefill_step_fn(self, bucket: int, num_logprobs: int, nb: int, np_: int,
                          with_emb: bool = False):
@@ -837,6 +893,9 @@ class ModelExecutor:
                 q_len=jnp.int32(n),
             )
             self.run_chunk(np.zeros(bucket, np.int32), meta)
+            if self.supports_fused_chunk:
+                # the scheduler's hot mid-chunk path (device-built meta)
+                self.run_chunk_fused(np.zeros(bucket, np.int32), jnp.asarray(pt), 0, n)
             sparams = SamplingParams(
                 temperature=jnp.zeros(B, jnp.float32),
                 top_p=jnp.ones(B, jnp.float32),

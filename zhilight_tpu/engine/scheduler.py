@@ -957,6 +957,22 @@ class Scheduler:
         emb_chunk = None
         if task.input_embeddings is not None:
             emb_chunk = np.asarray(task.input_embeddings[start : start + chunk], np.float32)
+
+        if (
+            not is_last
+            and emb_chunk is None
+            and task.position_ids is None
+            and self.ex.supports_fused_chunk
+        ):
+            # hot path: meta built on device from (pages, [start, chunk]) —
+            # one small upload instead of five per chunk
+            page_table = np.full(self.ex.max_pages_per_seq, -1, np.int32)
+            page_table[: len(task.pages)] = task.pages
+            self.ex.run_chunk_fused(tokens, jnp.asarray(page_table), start, chunk)
+            task.cache_len += chunk
+            self.step_index += 1
+            return True
+
         slot_map = np.full(bucket, -1, np.int32)
         for i in range(chunk):
             pos = start + i

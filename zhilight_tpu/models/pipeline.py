@@ -25,15 +25,23 @@ import jax.numpy as jnp
 try:
     from jax import shard_map as _shard_map
 
-    def shard_map(f, *, mesh, in_specs, out_specs):
+    def shard_map(f, *, mesh, in_specs, out_specs, axis_names=None):
+        kw = {}
+        if axis_names is not None:
+            # partial-manual mode: only these axes are manual; the rest (tp,
+            # dp) stay AUTO so sharding propagation + the custom_partitioning
+            # kernel rules keep working inside (this is how pp composes with
+            # tp — reference pp groups OF tp ranks, engine.cpp:94-106)
+            kw["axis_names"] = axis_names
         return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                          check_vma=False)
+                          check_vma=False, **kw)
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
-    def shard_map(f, *, mesh, in_specs, out_specs):
+    def shard_map(f, *, mesh, in_specs, out_specs, axis_names=None):
+        kw = {"auto": frozenset(set(mesh.axis_names) - set(axis_names))} if axis_names else {}
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs, check_rep=False)
+                              out_specs=out_specs, check_rep=False, **kw)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config.model_config import ModelConfig
@@ -70,14 +78,27 @@ def cache_pspec(cache: KVCache):
 
 
 def shard_params_pp(cfg: ModelConfig, params: Params, mesh: Mesh) -> Params:
-    """Stack layers and shard the stack over the pp axis; embedding / head /
-    final norm replicated (they run on every stage's copy)."""
+    """Stack layers and shard the stack over the pp axis, composing with the
+    usual TP specs on the per-layer dims (reference: pp groups OF tp ranks,
+    3rd/bmengine engine.cpp:94-106): a layer-stack leaf [L, in, out] becomes
+    P("pp", <tp spec>). Embedding / head / final norm follow their plain TP
+    rules (replicated when tp == 1)."""
+    from ..parallel.sharding import param_pspec
+
     stacked = SK.stack_params(cfg, params)
+    axes = set(mesh.axis_names)
+
+    def _known(spec):
+        # drop axis names the mesh doesn't carry (pp-only meshes have no tp)
+        return tuple(a if a in axes else None for a in tuple(spec))
 
     def place(path, x):
+        base = _known(param_pspec(path, getattr(x, "ndim", 0)))
         if path.startswith("layer_stack"):
-            return jax.device_put(x, NamedSharding(mesh, P(PP_AXIS)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+            # param_pspec's stacked handling gives P(None, *tp_spec); the
+            # leading (layer) dim shards over pp instead
+            return jax.device_put(x, NamedSharding(mesh, P(PP_AXIS, *base[1:])))
+        return jax.device_put(x, NamedSharding(mesh, P(*base)))
 
     def walk(tree, prefix=""):
         out = {}
@@ -202,6 +223,9 @@ def _forward_pp(
             rep if input_embeddings is not None else None,
         ),
         out_specs=(rep, cache_specs),
+        # only pp is manual; tp/dp stay auto so TP sharding propagation (and
+        # the custom_partitioning kernel rules) work inside each stage
+        axis_names={PP_AXIS},
     )
     # KVCache is a pytree; shard_map sees its leaves
     logits, cache = fn(params, tokens, meta, cache, input_embeddings)

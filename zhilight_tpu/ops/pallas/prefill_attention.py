@@ -14,22 +14,25 @@ against the HEAD-MAJOR packed pool ``[Hkv, N_slots, 2D]`` (K|V lane-packed,
 see ``kvcache/paged.py``), which already holds the chunk itself (the write
 kernel runs first):
 
-  * grid ``(Hkv, num_q_blocks, num_kv_blocks)`` — per-head 2-D matmuls (no
-    batched-dot layout constraints); kv innermost so m/l/acc scratch
-    accumulates across context blocks.
-  * q rows are grouped GQA queries: ``[TQ*G, 2D]`` with the V-half lanes
+  * grid ``(head_blocks, num_q_blocks, num_kv_blocks)`` — each step runs
+    BATCHED dots over ``HB`` kv heads at once, so one async copy per page
+    covers all HB heads (the decode kernel's all-heads-per-descriptor
+    pattern). The per-(head, page) 4 KB copies of the per-head variant were
+    DMA-issue-bound ~14x under the HBM roofline at 3.7k context (profiled
+    r4); batching heads into the descriptor recovers most of it.
+  * q rows are grouped GQA queries: ``[HB, TQ*G, 2D]`` with the V-half lanes
     zeroed, so both dots stream the SAME fetched K|V buffer at full lane
     width (the head-major decode kernel's single-stream trick).
-  * pages are DMAd ``pages_per_block`` at a time from HBM into a
-    double-buffered VMEM scratch (BlockSpec operand duplication caps at ~8
-    pages; prefill wants ~32-page blocks to amortize grid-step overhead).
+  * pages are DMAd ``pages_per_block`` at a time into a double-buffered VMEM
+    scratch ``[2, HB, PPB*S, 2D]``.
   * causality bounds the kv loop per q block: blocks wholly after the last
     query of the block are neither computed nor fetched.
+  * HB adapts to the fp32 score block ``[HB, TQ*G, PPB*S]`` VMEM budget, so
+    short chunks (decode-heavy serving mixes) batch more heads and long
+    chunks fall back toward per-head streaming with a single KV pass.
 
-HBM traffic per chunk is O(Hkv * num_q_blocks * ctx) with
-num_q_blocks = ceil(T*G / rows_per_block) kept at 1-2 by sizing blocks to
-~1024 rows — near the ideal single context read, vs O(ctx) full-context
-gather + O(T*ctx) score materialization for the old path.
+HBM traffic per chunk stays O(Hkv * num_q_blocks * ctx) with num_q_blocks
+kept at 1 whenever the score budget allows (single context read).
 """
 
 from __future__ import annotations
@@ -47,10 +50,10 @@ __all__ = ["paged_prefill_attention_hm", "paged_prefill_attention_hm_packed"]
 
 NEG_INF = -2.0e38
 
-# target q rows (tokens * group) per block; keeps scores ~[1024, FS] fp32
-_ROWS_TARGET = 1024
 # kv tokens per block (pages_per_block * page_size aims at this)
 _KV_TOKENS_TARGET = 512
+# fp32 score-block budget [HB, rows, kv_block] — the dominant VMEM tenant
+_SCORE_BUDGET = 6 * 1024 * 1024
 
 
 def _kernel_prefill_hm(
@@ -58,15 +61,15 @@ def _kernel_prefill_hm(
     page_table_ref,  # [NS, maxp] int32 (SMEM)
     meta_ref,        # [NS, 2] int32: (cache_len, q_len) per segment
     # inputs
-    q_ref,    # [1, TQ*G, 2D] VMEM (V-half lanes zero)
+    q_ref,    # [HB, TQ*G, 2D] VMEM (V-half lanes zero)
     kv_hbm,   # [Hkv, N_slots, 2D] ANY (HBM)
     # output
-    o_ref,    # [1, TQ*G, 2D] VMEM (V-half lanes carry the result)
+    o_ref,    # [HB, TQ*G, 2D] VMEM (V-half lanes carry the result)
     # scratch
-    m_ref,    # [TQ*G, 1] f32
-    l_ref,    # [TQ*G, 1] f32
-    acc_ref,  # [TQ*G, 2D] f32
-    kv_buf,   # [2, PPB*S, 2D]
+    m_ref,    # [HB, TQ*G, 1] f32
+    l_ref,    # [HB, TQ*G, 1] f32
+    acc_ref,  # [HB, TQ*G, 2D] f32
+    kv_buf,   # [2, HB, PPB*S, 2D]
     sems,     # DMA semaphores [2, PPB]
     *,
     page_size: int,
@@ -77,11 +80,12 @@ def _kernel_prefill_hm(
     scale: float,
     sliding_window: int,
     q_blocks_per_seg: int,
+    head_block: int,
 ):
-    h = pl.program_id(0)
+    hb = pl.program_id(0)
     qg = pl.program_id(1)
     i = pl.program_id(2)
-    S, PPB = page_size, pages_per_block
+    S, PPB, HB = page_size, pages_per_block, head_block
     # packed multi-sequence chunk ("encode group", reference
     # fill_encode_input batch_generator.cpp:1086-1212): q rows are NS
     # segments of TC tokens each; q blocks never straddle segments
@@ -110,11 +114,12 @@ def _kernel_prefill_hm(
         return page_table_ref[seg, safe_pos]
 
     def start_copies(block_idx, slot):
+        # ONE descriptor per page covering all HB heads of this head block
         for j in range(PPB):
             page = _page_at(block_idx * PPB + j)
             pltpu.make_async_copy(
-                kv_hbm.at[h, pl.ds(page * S, S)],
-                kv_buf.at[slot, pl.ds(j * S, S)],
+                kv_hbm.at[pl.ds(hb * HB, HB), pl.ds(page * S, S)],
+                kv_buf.at[slot, :, pl.ds(j * S, S)],
                 sems.at[slot, j],
             ).start()
 
@@ -122,8 +127,8 @@ def _kernel_prefill_hm(
         for j in range(PPB):
             page = _page_at(block_idx * PPB + j)
             pltpu.make_async_copy(
-                kv_hbm.at[h, pl.ds(page * S, S)],
-                kv_buf.at[slot, pl.ds(j * S, S)],
+                kv_hbm.at[pl.ds(hb * HB, HB), pl.ds(page * S, S)],
+                kv_buf.at[slot, :, pl.ds(j * S, S)],
                 sems.at[slot, j],
             ).wait()
 
@@ -144,24 +149,27 @@ def _kernel_prefill_hm(
     def _prefetch():
         start_copies(i + 1, next_slot)
 
-    @pl.when(_block_active(i))
-    def _compute():
-        wait_copies(i, slot)
-        q = q_ref[0]            # [TQ*G, 2D] storage dtype, V lanes zero
-        kv = kv_buf[slot]       # [PPB*S, 2D]
-        # scores contract the full packed width; kv's V half meets q's zero
-        # lanes and drops out. bf16 MXU operands, fp32 accumulation.
+    def _body(masked: bool):
+        q = q_ref[...]           # [HB, TQ*G, 2D] storage dtype, V lanes zero
+        kv = kv_buf[slot]        # [HB, PPB*S, 2D]
+        # scores contract the full packed width, BATCHED over the HB heads;
+        # kv's V half meets q's zero lanes and drops out. bf16 MXU operands,
+        # fp32 accumulation.
         s = jax.lax.dot_general(
-            q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale               # [TQ*G, PPB*S] fp32
+            q, kv, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                # [HB, TQ*G, PPB*S] fp32
 
-        tok = i * (PPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        row_tok = qi * tq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
-        qpos = cache_len + row_tok
-        mask = (tok <= qpos) & (tok < total) & (row_tok < q_len)
-        if sliding_window > 0:
-            mask &= tok > qpos - sliding_window
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            tok = i * (PPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            row_tok = (
+                qi * tq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // group
+            )
+            qpos = cache_len + row_tok
+            mask = (tok <= qpos) & (tok < total) & (row_tok < q_len)
+            if sliding_window > 0:
+                mask &= tok > qpos - sliding_window
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -170,18 +178,42 @@ def _kernel_prefill_hm(
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         # p @ kv streams the same buffer; lanes [D:] accumulate sum(p * V)
         upd = jax.lax.dot_general(
-            p.astype(kv.dtype), kv, (((1,), (0,)), ((), ())),
+            p.astype(kv.dtype), kv, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                       # [TQ*G, 2D] fp32
+        )                        # [HB, TQ*G, 2D] fp32
         acc_ref[...] = acc_ref[...] * alpha + upd
         m_ref[...] = m_new
+
+    # a block wholly inside the CACHED context is visible to every query row
+    # (tok < cache_len <= qpos): skip the iota/compare/select mask chain —
+    # the elementwise pass over the [HB, rows, PPB*S] score block is a large
+    # share of the kernel's VPU time, and at long contexts most blocks are
+    # full. Padding query rows (row_tok >= q_len) see unmasked scores here;
+    # their outputs are per-row garbage the callers already discard.
+    if sliding_window > 0:
+        @pl.when(_block_active(i))
+        def _compute_masked_only():
+            wait_copies(i, slot)
+            _body(masked=True)
+    else:
+        full = (i + 1) * (PPB * S) <= cache_len
+
+        @pl.when(jnp.logical_and(_block_active(i), full))
+        def _compute_full():
+            wait_copies(i, slot)
+            _body(masked=False)
+
+        @pl.when(jnp.logical_and(_block_active(i), jnp.logical_not(full)))
+        def _compute_masked():
+            wait_copies(i, slot)
+            _body(masked=True)
 
     @pl.when(i == num_blocks - 1)
     def _finish():
         l = jnp.maximum(l_ref[...], 1e-20)
         # full packed width out (K lanes are garbage, sliced off in XLA):
         # keeping the write lane-shaped avoids a VMEM relayout
-        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        o_ref[...] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
 @dedup_jit(5)
@@ -237,16 +269,26 @@ def paged_prefill_attention_hm_packed(
     assert T % NS == 0, (T, NS)
     TC = T // NS
 
-    # q-block rows: multiples of 8 (sublane) aiming at _ROWS_TARGET, and
-    # dividing the per-segment token count so blocks never straddle segments
-    tq = max(8, min(TC, _ROWS_TARGET // G) // 8 * 8)
+    ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
+    num_blocks = (maxp + ppb - 1) // ppb
+    ppb = (maxp + num_blocks - 1) // num_blocks  # fit tightly (decode's trick)
+
+    # q-block rows: prefer ONE q block per segment (single KV pass); rows are
+    # multiples of 8 (sublane) dividing the per-segment row count
+    rows_budget = max(8, _SCORE_BUDGET // (4 * ppb * S)) // 8 * 8
+    tq = max(8, min(TC, rows_budget // G) // 8 * 8)
     tc_pad = (TC + tq - 1) // tq * tq  # per-seg row pad; multiple of tq
     q_blocks_per_seg = tc_pad // tq
     num_q_blocks = NS * q_blocks_per_seg
 
-    ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
-    num_blocks = (maxp + ppb - 1) // ppb
-    ppb = (maxp + num_blocks - 1) // num_blocks  # fit tightly (decode's trick)
+    # head block: batch as many kv heads per grid step (and per DMA
+    # descriptor) as the fp32 score block affords
+    hb_budget = max(1, _SCORE_BUDGET // (4 * tq * G * ppb * S))
+    HB = 1
+    for cand in range(1, Hkv + 1):
+        if Hkv % cand == 0 and cand <= hb_budget:
+            HB = cand
+    num_head_blocks = Hkv // HB
 
     # [T, Hq, D] -> [Hkv, T*G, D] -> per-seg row pad + lane pad; V lanes zero
     q_hm = jnp.moveaxis(q.reshape(T, Hkv, G, D), 1, 0).reshape(Hkv, NS, TC * G, D)
@@ -258,22 +300,22 @@ def paged_prefill_attention_hm_packed(
         [jnp.asarray(cache_lens, jnp.int32), jnp.asarray(q_lens, jnp.int32)], axis=1
     )  # [NS, 2]
 
-    def q_index(h, qg, i, *_):
-        return (h, qg, 0)
+    def q_index(hb, qg, i, *_):
+        return (hb, qg, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(Hkv, num_q_blocks, num_blocks),
+        grid=(num_head_blocks, num_q_blocks, num_blocks),
         in_specs=[
-            pl.BlockSpec((1, tq * G, D2), q_index),
+            pl.BlockSpec((HB, tq * G, D2), q_index),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, tq * G, D2), q_index),
+        out_specs=pl.BlockSpec((HB, tq * G, D2), q_index),
         scratch_shapes=[
-            pltpu.VMEM((tq * G, 1), jnp.float32),
-            pltpu.VMEM((tq * G, 1), jnp.float32),
-            pltpu.VMEM((tq * G, D2), jnp.float32),
-            pltpu.VMEM((2, ppb * S, D2), kv_pool.dtype),
+            pltpu.VMEM((HB, tq * G, 1), jnp.float32),
+            pltpu.VMEM((HB, tq * G, 1), jnp.float32),
+            pltpu.VMEM((HB, tq * G, D2), jnp.float32),
+            pltpu.VMEM((2, HB, ppb * S, D2), kv_pool.dtype),
             pltpu.SemaphoreType.DMA((2, ppb)),
         ],
     )
@@ -287,6 +329,7 @@ def paged_prefill_attention_hm_packed(
         scale=scale,
         sliding_window=sliding_window,
         q_blocks_per_seg=q_blocks_per_seg,
+        head_block=HB,
     )
     out = pl.pallas_call(
         kernel,

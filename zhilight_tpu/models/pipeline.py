@@ -203,10 +203,13 @@ def _forward_pp(
             # intermediate prefill chunk: only the cache writes matter
             return jnp.zeros((1,), jnp.float32), cache_l
 
-        # final hidden lives on the last stage; broadcast it back
+        # final hidden lives on the last stage; broadcast it back (f32: the
+        # XLA:CPU AllReducePromotion pass check-fails cloning a bf16
+        # all-reduce inside a partial-manual shard_map region)
         x = jax.lax.psum(
-            jnp.where(stage == pp - 1, x, jnp.zeros_like(x)), PP_AXIS
-        )
+            jnp.where(stage == pp - 1, x, jnp.zeros_like(x)).astype(jnp.float32),
+            PP_AXIS,
+        ).astype(x.dtype)
         hidden = L._norm(params_l["final_norm"], cfg, x)
         if mode == "hidden":
             return hidden, cache_l

@@ -77,14 +77,23 @@ def paged_decode_attention_hm_sharded(
         return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
 
     G = q.shape[1] // kv_pool.shape[0]
-    f.def_partition(
-        partition,
-        # h appears alone in the pool's leading dim, so only g's size is a
-        # free factor the rule needs
-        sharding_rule="b (h g) d, h n x, b m, b -> b (h g) d",
-        need_replication_factors=("d", "n", "x", "m"),  # first-appearance order
-        g=G,
-    )
+    # sdy rejects compound factors with a size-1 member: MHA (G == 1) uses
+    # the plain h rule
+    if G == 1:
+        f.def_partition(
+            partition,
+            sharding_rule="b h d, h n x, b m, b -> b h d",
+            need_replication_factors=("d", "n", "x", "m"),
+        )
+    else:
+        f.def_partition(
+            partition,
+            # h appears alone in the pool's leading dim, so only g's size is a
+            # free factor the rule needs
+            sharding_rule="b (h g) d, h n x, b m, b -> b (h g) d",
+            need_replication_factors=("d", "n", "x", "m"),  # first-appearance order
+            g=G,
+        )
     return f(q, kv_pool, page_tables, context_lens)
 
 
@@ -112,12 +121,19 @@ def paged_decode_attention_hm_q_sharded(
         return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
 
     G = q.shape[1] // kv_pool.shape[0]
-    f.def_partition(
-        partition,
-        sharding_rule="b (h g) d, h n x, n h, n h, b m, b -> b (h g) d",
-        need_replication_factors=("d", "n", "x", "m"),
-        g=G,
-    )
+    if G == 1:
+        f.def_partition(
+            partition,
+            sharding_rule="b h d, h n x, n h, n h, b m, b -> b h d",
+            need_replication_factors=("d", "n", "x", "m"),
+        )
+    else:
+        f.def_partition(
+            partition,
+            sharding_rule="b (h g) d, h n x, n h, n h, b m, b -> b (h g) d",
+            need_replication_factors=("d", "n", "x", "m"),
+            g=G,
+        )
     return f(q, kv_pool, k_scales, v_scales, page_tables, context_lens)
 
 
@@ -148,12 +164,19 @@ def paged_prefill_attention_hm_sharded(
         return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
 
     G = q.shape[1] // kv_pool.shape[0]
-    f.def_partition(
-        partition,
-        sharding_rule="t (h g) d, h n x, m, s -> t (h g) d",
-        need_replication_factors=("t", "d", "n", "x", "m", "s"),
-        g=G,
-    )
+    if G == 1:
+        f.def_partition(
+            partition,
+            sharding_rule="t h d, h n x, m, s -> t h d",
+            need_replication_factors=("t", "d", "n", "x", "m", "s"),
+        )
+    else:
+        f.def_partition(
+            partition,
+            sharding_rule="t (h g) d, h n x, m, s -> t (h g) d",
+            need_replication_factors=("t", "d", "n", "x", "m", "s"),
+            g=G,
+        )
     return f(q, kv_pool, page_table, meta)
 
 
@@ -180,12 +203,19 @@ def paged_prefill_attention_hm_packed_sharded(
         return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
 
     G = q.shape[1] // kv_pool.shape[0]
-    f.def_partition(
-        partition,
-        sharding_rule="t (h g) d, h n x, s p, s, s -> t (h g) d",
-        need_replication_factors=("t", "d", "n", "x", "s", "p"),
-        g=G,
-    )
+    if G == 1:
+        f.def_partition(
+            partition,
+            sharding_rule="t h d, h n x, s p, s, s -> t h d",
+            need_replication_factors=("t", "d", "n", "x", "s", "p"),
+        )
+    else:
+        f.def_partition(
+            partition,
+            sharding_rule="t (h g) d, h n x, s p, s, s -> t (h g) d",
+            need_replication_factors=("t", "d", "n", "x", "s", "p"),
+            g=G,
+        )
     return f(q, kv_pool, page_tables, cache_lens, q_lens)
 
 
@@ -233,11 +263,19 @@ def paged_decode_attention_hm_partial_sharded(
 
         return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
 
-    f.def_partition(
-        partition,
-        sharding_rule="b (h g) d, h n x, b m, b -> b h g x",
-        need_replication_factors=("d", "n", "x", "m"),
-    )
+    G = q.shape[1] // kv_pool.shape[0]
+    if G == 1:
+        f.def_partition(
+            partition,
+            sharding_rule="b h d, h n x, b m, b -> b h g x",
+            need_replication_factors=("d", "n", "x", "m", "g"),
+        )
+    else:
+        f.def_partition(
+            partition,
+            sharding_rule="b (h g) d, h n x, b m, b -> b h g x",
+            need_replication_factors=("d", "n", "x", "m"),
+        )
     return f(q, kv_pool, page_tables, pool_lens)
 
 
@@ -290,11 +328,19 @@ def paged_decode_attention_hm_q_partial_sharded(
 
         return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
 
-    f.def_partition(
-        partition,
-        sharding_rule="b (h g) d, h n x, n h, n h, b m, b -> b h g x",
-        need_replication_factors=("d", "n", "x", "m"),
-    )
+    G = q.shape[1] // kv_pool.shape[0]
+    if G == 1:
+        f.def_partition(
+            partition,
+            sharding_rule="b h d, h n x, n h, n h, b m, b -> b h g x",
+            need_replication_factors=("d", "n", "x", "m", "g"),
+        )
+    else:
+        f.def_partition(
+            partition,
+            sharding_rule="b (h g) d, h n x, n h, n h, b m, b -> b h g x",
+            need_replication_factors=("d", "n", "x", "m"),
+        )
     return f(q, kv_pool, k_scales, v_scales, page_tables, pool_lens)
 
 

@@ -68,6 +68,7 @@ def _kernel_prefill_hm(
     # scratch
     m_ref,    # [HB, TQ*G, 1] f32
     l_ref,    # [HB, TQ*G, 1] f32
+    hi_ref,   # [HB, TQ*G, 1] i32 per-row exclusive visible-token bound
     acc_ref,  # [HB, TQ*G, 2D] f32
     kv_buf,   # [2, HB, PPB*S, 2D]
     sems,     # DMA semaphores [2, PPB]
@@ -137,6 +138,18 @@ def _kernel_prefill_hm(
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        # per-row exclusive causal bound, hoisted out of the kv loop: row r
+        # sees tokens [0, hi_r); padding rows (row_tok >= q_len) get hi = 0
+        # (fully masked). The per-block mask then costs ONE iota + compare +
+        # select instead of the 3-iota/4-compare chain (the elementwise pass
+        # over the [HB, rows, PPB*S] score block dominates VPU time).
+        row_tok = (
+            qi * tq
+            + jax.lax.broadcasted_iota(jnp.int32, m_ref.shape, 1) // group
+        )
+        qpos = cache_len + row_tok
+        hi = jnp.minimum(qpos + 1, total)
+        hi_ref[...] = jnp.where(row_tok < q_len, hi, 0)
 
         @pl.when(_block_active(0))
         def _():
@@ -149,7 +162,9 @@ def _kernel_prefill_hm(
     def _prefetch():
         start_copies(i + 1, next_slot)
 
-    def _body(masked: bool):
+    @pl.when(_block_active(i))
+    def _compute():
+        wait_copies(i, slot)
         q = q_ref[...]           # [HB, TQ*G, 2D] storage dtype, V lanes zero
         kv = kv_buf[slot]        # [HB, PPB*S, 2D]
         # scores contract the full packed width, BATCHED over the HB heads;
@@ -160,16 +175,13 @@ def _kernel_prefill_hm(
             preferred_element_type=jnp.float32,
         ) * scale                # [HB, TQ*G, PPB*S] fp32
 
-        if masked:
-            tok = i * (PPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-            row_tok = (
-                qi * tq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // group
+        tok = i * (PPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        mask = tok < hi_ref[...]
+        if sliding_window > 0:
+            mask = jnp.logical_and(
+                mask, tok >= hi_ref[...] - sliding_window
             )
-            qpos = cache_len + row_tok
-            mask = (tok <= qpos) & (tok < total) & (row_tok < q_len)
-            if sliding_window > 0:
-                mask &= tok > qpos - sliding_window
-            s = jnp.where(mask, s, NEG_INF)
+        s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -183,30 +195,6 @@ def _kernel_prefill_hm(
         )                        # [HB, TQ*G, 2D] fp32
         acc_ref[...] = acc_ref[...] * alpha + upd
         m_ref[...] = m_new
-
-    # a block wholly inside the CACHED context is visible to every query row
-    # (tok < cache_len <= qpos): skip the iota/compare/select mask chain —
-    # the elementwise pass over the [HB, rows, PPB*S] score block is a large
-    # share of the kernel's VPU time, and at long contexts most blocks are
-    # full. Padding query rows (row_tok >= q_len) see unmasked scores here;
-    # their outputs are per-row garbage the callers already discard.
-    if sliding_window > 0:
-        @pl.when(_block_active(i))
-        def _compute_masked_only():
-            wait_copies(i, slot)
-            _body(masked=True)
-    else:
-        full = (i + 1) * (PPB * S) <= cache_len
-
-        @pl.when(jnp.logical_and(_block_active(i), full))
-        def _compute_full():
-            wait_copies(i, slot)
-            _body(masked=False)
-
-        @pl.when(jnp.logical_and(_block_active(i), jnp.logical_not(full)))
-        def _compute_masked():
-            wait_copies(i, slot)
-            _body(masked=True)
 
     @pl.when(i == num_blocks - 1)
     def _finish():
@@ -314,6 +302,7 @@ def paged_prefill_attention_hm_packed(
         scratch_shapes=[
             pltpu.VMEM((HB, tq * G, 1), jnp.float32),
             pltpu.VMEM((HB, tq * G, 1), jnp.float32),
+            pltpu.VMEM((HB, tq * G, 1), jnp.int32),
             pltpu.VMEM((HB, tq * G, D2), jnp.float32),
             pltpu.VMEM((2, HB, ppb * S, D2), kv_pool.dtype),
             pltpu.SemaphoreType.DMA((2, ppb)),

@@ -94,8 +94,10 @@ def test_gptq_act_order_linear_e2e():
     np.testing.assert_allclose(y, ref, rtol=2e-3, atol=2e-3)
 
 
-def test_gptq_act_order_experts_rejected():
-    """Silent garbage guard: desc_act expert weights must fail at load."""
+def test_gptq_act_order_experts_load_with_perm():
+    """desc_act=true expert stacks load with a stacked activation-side perm
+    (r4: was rejected; now the ragged path composes the per-expert g_idx
+    permutation into the token gather — reference src/nn/quant/gptq/)."""
     from zhilight_tpu.config import ModelConfig
     from zhilight_tpu.utils.hf_loader import map_hf_params
 
@@ -115,8 +117,18 @@ def test_gptq_act_order_experts_rejected():
             (f"{base}.qweight", qw), (f"{base}.qzeros", qz),
             (f"{base}.scales", sc), (f"{base}.g_idx", g_idx),
         ]
-    with pytest.raises(NotImplementedError):
-        map_hf_params(tensors, cfg, strict=False, quant_method="gptq")
+    tree = map_hf_params(tensors, cfg, strict=False, quant_method="gptq")
+    proj = tree["layers"]["0"]["mlp"]["experts"]["gate_proj"]
+    assert proj["perm"].shape == (2, K)
+    perm = np.asarray(proj["perm"][0])
+    assert sorted(perm.tolist()) == list(range(K))
+    # rows were sorted by g_idx: each group of the permuted g_idx is constant
+    gs = K // G
+    sorted_gidx = g_idx[perm]
+    assert all(
+        len(set(sorted_gidx[g * gs : (g + 1) * gs].tolist())) == 1
+        for g in range(G)
+    )
 
 
 def test_awq_roundtrip():

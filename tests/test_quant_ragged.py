@@ -281,3 +281,110 @@ def test_moe_layer_quant_expert_parallel(monkeypatch):
         if int(np.prod([int(d) for d in mt.group(2).split(",")])) >= stack_elems
     ]
     assert not fat, "dequantized expert stack materialized:\n" + "\n".join(fat[:3])
+
+
+def _act_order_params(rng, E, D, F, gs):
+    """Expert stacks the loader produces for desc_act=true: rows group-sorted
+    by each expert's g_idx + the activation-side perm (hf_loader.py act_order
+    stacking; reference exllama g_idx, src/nn/quant/gptq/)."""
+    def qproj(K, N, with_perm):
+        nib = rng.randint(0, 16, size=(E, K, N)).astype(np.int8)
+        G = K // gs
+        d = {
+            "w_p": pack_expert_int4(jnp.asarray(nib)),
+            "scales": jnp.asarray((rng.rand(E, G, N) * 0.02 + 0.01), jnp.float32),
+            "zeros": jnp.asarray(np.full((E, G, N), 8.0), jnp.float32),
+        }
+        if with_perm:
+            perms = np.stack([rng.permutation(K) for _ in range(E)]).astype(np.int32)
+            d["perm"] = jnp.asarray(perms)
+        return d
+
+    return {
+        "router": {"w": jnp.asarray(rng.randn(D, E) * 0.1, jnp.float32)},
+        "experts": {
+            "gate_proj": qproj(D, F, True),
+            "up_proj": qproj(D, F, False),   # mixed: one trivial-g_idx proj
+            "down_proj": qproj(F, D, True),
+        },
+    }
+
+
+def test_moe_act_order_fused_matches_fallback(monkeypatch):
+    """desc_act=true expert stacks (VERDICT r3 #7): the fused kernel's
+    token-side permutation gather == the dequant fallback's row scatter."""
+    from zhilight_tpu.config import ModelConfig
+    from zhilight_tpu.config.model_config import MoEConfig
+    from zhilight_tpu.models import moe as M
+
+    cfg = ModelConfig(
+        model_type="qwen2_moe", num_layers=1, dim_model=256, num_heads=4,
+        dim_head=64, num_kv_heads=4, dim_ff=256, vocab_size=64, dtype="float32",
+        moe=MoEConfig(num_experts=4, top_k=2, intermediate_size=256,
+                      scoring_func="softmax", topk_method="greedy",
+                      norm_topk_prob=True),
+    )
+    rng = np.random.RandomState(17)
+    p = _act_order_params(rng, E=4, D=256, F=256, gs=128)
+    x = jnp.asarray(rng.randn(9, 256) * 0.5, jnp.bfloat16)
+
+    monkeypatch.setenv("ZT_PALLAS_INTERPRET", "1")
+    assert M._use_quant_ragged(p["experts"])
+    fused = np.asarray(M.moe_layer(p, cfg, x), np.float32)
+
+    monkeypatch.setenv("ZT_NO_PALLAS", "1")
+    ref = np.asarray(M.moe_layer(p, cfg, x), np.float32)
+    np.testing.assert_allclose(fused, ref, rtol=0.05, atol=0.03)
+
+
+def test_moe_act_order_expert_parallel(monkeypatch):
+    """act_order stacks under the EP mesh: perm shards with the expert dim."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from zhilight_tpu.config import ModelConfig
+    from zhilight_tpu.config.model_config import MoEConfig
+    from zhilight_tpu.models import moe as M
+    from zhilight_tpu.parallel import enable_kernel_partitioning
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:4]), ("tp",))
+    cfg = ModelConfig(
+        model_type="qwen2_moe", num_layers=1, dim_model=256, num_heads=4,
+        dim_head=64, num_kv_heads=4, dim_ff=256, vocab_size=64, dtype="float32",
+        moe=MoEConfig(num_experts=8, top_k=2, intermediate_size=256,
+                      scoring_func="softmax", topk_method="greedy",
+                      norm_topk_prob=True),
+    )
+    rng = np.random.RandomState(23)
+    p = _act_order_params(rng, E=8, D=256, F=256, gs=128)
+    x_host = jnp.asarray(rng.randn(12, 256) * 0.5, jnp.bfloat16)
+
+    monkeypatch.setenv("ZT_PALLAS_INTERPRET", "1")
+    want = np.asarray(M.moe_layer(p, cfg, x_host), np.float32)
+
+    espec3 = NamedSharding(mesh, P("tp", None, None))
+    espec2 = NamedSharding(mesh, P("tp", None))
+    rep = NamedSharding(mesh, P())
+    p_sh = {
+        "router": {"w": jax.device_put(p["router"]["w"], rep)},
+        "experts": {
+            proj: {
+                k: jax.device_put(v, espec2 if k == "perm" else espec3)
+                for k, v in d.items()
+            }
+            for proj, d in p["experts"].items()
+        },
+    }
+    x = jax.device_put(x_host, rep)
+    enable_kernel_partitioning(True)
+    try:
+        with jax.set_mesh(mesh):
+            got = np.asarray(
+                jax.device_get(jax.jit(lambda p, x: M.moe_layer(p, cfg, x))(p_sh, x)),
+                np.float32,
+            )
+    finally:
+        enable_kernel_partitioning(False)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

@@ -92,6 +92,13 @@ def _expert_weight(p: Params, dtype) -> jax.Array:
         w = jax.vmap(lambda wp, s, z: dequant_int4(wp, s, z, dtype))(
             p["w_p"], p["scales"], p["zeros"]
         )
+        if "perm" in p:
+            # act_order stacks store rows group-sorted by each expert's
+            # g_idx (w_sorted[i] = w_orig[perm[i]]); scatter them back so
+            # the fallback consumes unpermuted activations
+            w = jax.vmap(lambda we, pe: jnp.zeros_like(we).at[pe].set(we))(
+                w, p["perm"]
+            )
         return w
     raise ValueError(f"unknown expert weight format: {sorted(p.keys())}")
 
@@ -141,12 +148,13 @@ def quant_experts_contribution(
     x: jax.Array,            # [T, D] raw token activations
     flat_experts: jax.Array, # [R = T*K] GLOBAL expert of each (token, k) pair
     pair_weights: jax.Array, # [R] f32 routing weight per pair
-    expert_arrays,           # flat (w_p, scales, zeros) per proj, loader order
+    expert_arrays,           # flat (w_p, scales, zeros[, perm]) per proj
     fused: bool,             # True => [gate_up, down]; else [gate, up, down]
     top_k: int,
     e0,                      # first expert id held locally (0 when unsharded)
     act: str,
     interpret: bool = False,
+    has_perm: bool = False,  # act_order stacks: per-expert K-permutation
 ) -> jax.Array:
     """Weighted scatter-added contribution [T, D] of experts
     [e0, e0 + E_local): the single code path behind both the unsharded
@@ -172,9 +180,17 @@ def quant_experts_contribution(
     )
     token_idx = sort_idx // top_k
     xp = jnp.zeros((mp, D), x.dtype).at[dest].set(x[token_idx])
+    stride = 4 if has_perm else 3
+    # expert of each PADDED row (tile_expert is already capped at E_local-1)
+    row_expert = jnp.repeat(tile_expert, TM) if has_perm else None
 
     def mm(i, xin):
-        w_p, scales, zeros = expert_arrays[3 * i : 3 * i + 3]
+        w_p, scales, zeros = expert_arrays[stride * i : stride * i + 3]
+        if has_perm:
+            # act_order: gather each row's activations with its expert's
+            # g_idx permutation (reference exllama q_gemm, src/nn/quant/gptq/)
+            perm = expert_arrays[stride * i + 3]  # [E_local, K_proj]
+            xin = jnp.take_along_axis(xin, perm[row_expert], axis=1)
         return w4a16_ragged_matmul(
             xin, w_p, scales, zeros, tile_expert, num_occ, interpret=interpret
         )
@@ -237,22 +253,34 @@ def moe_layer(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
         names = ("gate_up_proj", "down_proj") if fused else (
             "gate_proj", "up_proj", "down_proj"
         )
+        has_perm = any("perm" in p["experts"][nm] for nm in names)
         arrs = []
         for nm in names:
             pr = p["experts"][nm]
             arrs += [pr["w_p"], pr["scales"], pr["zeros"]]
+            if has_perm:
+                # projections quantized with trivial g_idx get the identity
+                # so the operand layout stays uniform
+                perm = pr.get("perm")
+                if perm is None:
+                    Kp = 2 * pr["w_p"].shape[1]
+                    perm = jnp.broadcast_to(
+                        jnp.arange(Kp, dtype=jnp.int32),
+                        (pr["w_p"].shape[0], Kp),
+                    )
+                arrs.append(perm)
         if kernel_partitioning_enabled():
             # expert-sharded meshes: per-shard local experts + psum
             from ..ops.pallas.partitioned import w4a16_moe_experts_sharded
 
             routed = w4a16_moe_experts_sharded(
                 x, flat_experts, pair_w, arrs, fused, K, cfg.activate_fn,
-                interpret=_pallas_interpret(),
+                interpret=_pallas_interpret(), has_perm=has_perm,
             )
         else:
             routed = quant_experts_contribution(
                 x, flat_experts, pair_w, arrs, fused, K, 0, cfg.activate_fn,
-                interpret=_pallas_interpret(),
+                interpret=_pallas_interpret(), has_perm=has_perm,
             )
         routed = routed.astype(x.dtype)
     else:

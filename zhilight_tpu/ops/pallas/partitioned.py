@@ -378,7 +378,7 @@ def paged_mla_decode_sharded(
 
 def w4a16_moe_experts_sharded(
     x, flat_experts, pair_weights, expert_arrays, fused, top_k, act,
-    interpret=False,
+    interpret=False, has_perm=False,
 ):
     """Fused W4A16 grouped MoE experts under expert-sharded meshes
     (reference GPTQMOE composed with MOE_EXP_PARALLEL,
@@ -398,7 +398,8 @@ def w4a16_moe_experts_sharded(
 
     def _impl(x, fe, pw, *ws):
         return quant_experts_contribution(
-            x, fe, pw, ws, fused, top_k, 0, act, interpret=interpret
+            x, fe, pw, ws, fused, top_k, 0, act, interpret=interpret,
+            has_perm=has_perm,
         )
 
     f = custom_partitioning(_impl)
@@ -410,7 +411,8 @@ def w4a16_moe_experts_sharded(
         def lower_fn(x, fe, pw, *ws):
             if axis is None:
                 return quant_experts_contribution(
-                    x, fe, pw, ws, fused, top_k, 0, act, interpret=interpret
+                    x, fe, pw, ws, fused, top_k, 0, act, interpret=interpret,
+                    has_perm=has_perm,
                 )
             names = axis if isinstance(axis, tuple) else (axis,)
             idx = jax.lax.axis_index(names[0])
@@ -418,28 +420,29 @@ def w4a16_moe_experts_sharded(
                 idx = idx * mesh.shape[nm] + jax.lax.axis_index(nm)
             e0 = idx * ws[0].shape[0]
             local = quant_experts_contribution(
-                x, fe, pw, ws, fused, top_k, e0, act, interpret=interpret
+                x, fe, pw, ws, fused, top_k, e0, act, interpret=interpret,
+                has_perm=has_perm,
             )
             return jax.lax.psum(local, names)
 
         return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
 
-    if fused:
-        rule = (
-            "t d, r, r, e k1 n1, e g1 n1, e h1 n1, e k2 d, e g2 d, e h2 d -> t d"
-        )
-        reps = ("t", "d", "r", "k1", "n1", "g1", "h1", "k2", "g2", "h2")
-    else:
-        rule = (
-            "t d, r, r, e k1 n1, e g1 n1, e h1 n1, e k3 n3, e g3 n3, e h3 n3, "
-            "e k2 d, e g2 d, e h2 d -> t d"
-        )
-        reps = (
-            "t", "d", "r", "k1", "n1", "g1", "h1", "k3", "n3", "g3", "h3",
-            "k2", "g2", "h2",
-        )
+    # operand rule: x, flat, weights, then per projection (w_p, scales,
+    # zeros[, perm]) — all factors replicated except the expert dim e.
+    # need_replication_factors must list factors in FIRST-APPEARANCE order.
+    nproj = 2 if fused else 3
+    segs, reps = ["t d", "r", "r"], ["t", "d", "r"]
+    for i in range(nproj):
+        last = i == nproj - 1
+        nd = "d" if last else f"n{i}"
+        segs += [f"e k{i} {nd}", f"e g{i} {nd}", f"e h{i} {nd}"]
+        reps += [f"k{i}"] + ([] if last else [nd]) + [f"g{i}", f"h{i}"]
+        if has_perm:
+            segs.append(f"e q{i}")
+            reps.append(f"q{i}")
+    rule = ", ".join(segs) + " -> t d"
     f.def_partition(
-        partition, sharding_rule=rule, need_replication_factors=reps
+        partition, sharding_rule=rule, need_replication_factors=tuple(reps)
     )
     return f(x, flat_experts, pair_weights, *expert_arrays)
 

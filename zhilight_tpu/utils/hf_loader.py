@@ -341,15 +341,16 @@ def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
                 one = {k: v[e] for k, v in entry.items() if isinstance(v, dict)}
                 parts.append(convert_quant_tensors(one, quant_method))
             if any("perm" in p for p in parts):
-                # grouped expert GEMMs consume a dense [E, K, N] stack; a
-                # per-expert activation permutation has no grouped-matmul
-                # equivalent here yet. Fail loudly instead of generating
-                # garbage (the reference's GPTQMOE rejects desc_act too).
-                raise NotImplementedError(
-                    f"GPTQ act_order (desc_act=true) expert weights at {path!r} "
-                    "are not supported; re-quantize the MoE checkpoint with "
-                    "desc_act=false"
-                )
+                # act_order (desc_act=true) expert stacks: every expert's
+                # rows were group-sorted by its own g_idx; experts without a
+                # non-trivial g_idx get the identity so the stack is uniform.
+                # The runtime composes the per-expert K-permutation into the
+                # token-side gather (models/moe.quant_experts_contribution) —
+                # reference exllama q_gemm g_idx handling, src/nn/quant/gptq/
+                K = parts[0]["w_p"].shape[0]
+                for p in parts:
+                    if "perm" not in p:
+                        p["perm"] = np.arange(K, dtype=np.int32)
             canon = {
                 k: np.stack([p[k] for p in parts], axis=0)
                 for k in parts[0]

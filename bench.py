@@ -275,7 +275,7 @@ def stage_serving():
          "--max-model-len", "3904",
          "--dyn-max-batch-size", "8",
          "--max-total-token", str(8 * 3904),
-         "--chunk-size", os.environ.get("ZT_BENCH_CHUNK", "2048")],
+         "--chunk-size", os.environ.get("ZT_BENCH_CHUNK", "512")],
         stdout=log, stderr=log, env=_env(), cwd=BASE,
     )
     try:

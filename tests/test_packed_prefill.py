@@ -117,3 +117,50 @@ def test_packed_kernel_interpret_matches_fallback(tiny_model, monkeypatch):
     with DynamicBatchGenerator(llm) as gen:
         results = gen.batch_generate(prompts, GeneratorArg(max_length=4))
     assert [r.outputs[0].token_ids for r in results] == expected
+
+
+def test_mla_burst_matches_naive_greedy():
+    """Packed prefill on a DeepSeek-style MLA model (VERDICT r3 #10): a burst
+    of short prompts packs into one encode group and still matches the
+    sequential greedy outputs."""
+    from zhilight_tpu.config import MLAConfig
+
+    cfg = ModelConfig(
+        model_type="deepseek_v2", num_layers=2, dim_model=64, num_heads=4,
+        dim_head=48, num_kv_heads=4, dim_ff=128, vocab_size=VOCAB,
+        dtype="float32",
+        mla=MLAConfig(
+            q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=32,
+            qk_rope_head_dim=16, v_head_dim=32,
+        ),
+    )
+    params = L.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    rng = np.random.RandomState(8)
+    prompts = [list(rng.randint(2, VOCAB, size=n)) for n in (5, 7, 6, 4)]
+    arg = GeneratorArg(max_length=6, ignore_eos=True)
+
+    def build(pack):
+        ecfg = EngineConfig(
+            max_model_len=64,
+            cache=CacheConfig(page_size=4, num_pages=64),
+            scheduler=SchedulerConfig(
+                max_batch=4, chunk_size=8, prefill_buckets=(8, 16, 32),
+                eos_id=EOS, prefill_pack=pack, pack_chunk_cap=8,
+            ),
+        )
+        return LLM(model_config=cfg, params=params, engine_config=ecfg)
+
+    llm = build(0)  # packing disabled
+    with DynamicBatchGenerator(llm) as gen:
+        want = [
+            gen.generate(p, arg).outputs[0].token_ids for p in prompts
+        ]
+
+    llm = build(4)
+    assert llm.executor.supports_packed_prefill
+    with DynamicBatchGenerator(llm) as gen:
+        rs = gen.batch_generate(prompts, arg)
+        got = [r.outputs[0].token_ids for r in rs]
+        packed_runs = gen.scheduler.num_packed_prefills
+    assert got == want
+    assert packed_runs >= 1

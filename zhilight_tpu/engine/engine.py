@@ -436,9 +436,9 @@ class ModelExecutor:
     @property
     def supports_packed_prefill(self) -> bool:
         """Packed multi-sequence chunks (encode groups) need the per-layer
-        llama attention path; MLA / stacked / PP forwards read single-sequence
-        meta."""
-        return not self.cfg.mla.enabled and not self.stacked and self.pp == 1
+        path (llama or MLA — mla_attention_layer handles PackedPrefillMeta);
+        stacked / PP forwards read single-sequence meta."""
+        return not self.stacked and self.pp == 1
 
     def _packed_prefill_fn(self, ns: int, tc: int):
         """One fused program for NS sequences' chunks (reference encode group,

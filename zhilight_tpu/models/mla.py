@@ -130,10 +130,28 @@ def mla_attention_layer(
     cache = write_latent(cache, layer_idx, latent, meta.slot_mapping)
 
     if mode == "prefill":
-        ctx = gather_latent(cache, layer_idx, meta.page_table)  # [KV, latent]
-        out = _mla_prefill(
-            q_nope, q_pe, ctx, w_uk, w_uv, meta.cache_len, meta.q_len, scale, m
-        )
+        from .base import PackedPrefillMeta
+
+        if isinstance(meta, PackedPrefillMeta):
+            # packed multi-sequence chunk (reference encode group,
+            # batch_generator.cpp:1086-1212): the projections above ran on
+            # the fused [NS*TC] token batch; attention masks per segment
+            NS = meta.num_segments
+            TC = T // NS
+            outs = []
+            for s in range(NS):
+                sl = slice(s * TC, (s + 1) * TC)
+                ctx_s = gather_latent(cache, layer_idx, meta.page_tables[s])
+                outs.append(_mla_prefill(
+                    q_nope[sl], q_pe[sl], ctx_s, w_uk, w_uv,
+                    meta.cache_lens[s], meta.q_lens[s], scale, m,
+                ))
+            out = jnp.concatenate(outs, axis=0)
+        else:
+            ctx = gather_latent(cache, layer_idx, meta.page_table)  # [KV, latent]
+            out = _mla_prefill(
+                q_nope, q_pe, ctx, w_uk, w_uv, meta.cache_len, meta.q_len, scale, m
+            )
     elif _use_pallas_mla():
         out = _mla_decode_pallas(
             q_nope, q_pe, cache, layer_idx, w_uk, w_uv, meta, scale, m

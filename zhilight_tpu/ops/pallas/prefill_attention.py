@@ -52,8 +52,11 @@ NEG_INF = -2.0e38
 
 # kv tokens per block (pages_per_block * page_size aims at this)
 _KV_TOKENS_TARGET = 512
-# fp32 score-block budget [HB, rows, kv_block] — the dominant VMEM tenant
-_SCORE_BUDGET = 6 * 1024 * 1024
+# fp32 score-block budget [HB, rows, kv_block] — the dominant VMEM tenant.
+# Must leave room for acc/q/o blocks and the double-buffered kv scratch
+# under the ~16 MB scoped-VMEM limit (a 6 MB budget OOMed at Qwen-14B
+# packed-prefill geometry: G=5 grouped rows double the q/acc/o tenants).
+_SCORE_BUDGET = 4 * 1024 * 1024
 
 
 def _kernel_prefill_hm(
@@ -257,20 +260,28 @@ def paged_prefill_attention_hm_packed(
     assert T % NS == 0, (T, NS)
     TC = T // NS
 
+    # Tiling policy, in priority order:
+    #   1. ONE q block per segment (tq = TC => single KV pass, no row pad) —
+    #      shrink the kv block (ppb) to make the score row fit the budget;
+    #   2. only split q when even a 4-page kv block cannot fit (huge TC*G);
+    #   3. batch as many kv heads per grid step (and per DMA descriptor) as
+    #      the remaining budget affords.
+    # A q-split costs KV re-reads AND padded rows (tc_pad > TC inflates every
+    # block tenant) — a 4 MB budget that forced tq=416 at TC=512, G=5 both
+    # overflowed scoped VMEM and read the context twice.
+    rows_cap = max(8, (4096 // G) // 8 * 8)  # bounds acc/q/o block tenants
+    tq = min(TC, rows_cap)
     ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
+    while ppb > 4 and 4 * tq * G * ppb * S > _SCORE_BUDGET:
+        ppb -= 1
+    if 4 * tq * G * ppb * S > _SCORE_BUDGET:
+        tq = max(8, _SCORE_BUDGET // (4 * G * ppb * S) // 8 * 8)
     num_blocks = (maxp + ppb - 1) // ppb
     ppb = (maxp + num_blocks - 1) // num_blocks  # fit tightly (decode's trick)
-
-    # q-block rows: prefer ONE q block per segment (single KV pass); rows are
-    # multiples of 8 (sublane) dividing the per-segment row count
-    rows_budget = max(8, _SCORE_BUDGET // (4 * ppb * S)) // 8 * 8
-    tq = max(8, min(TC, rows_budget // G) // 8 * 8)
     tc_pad = (TC + tq - 1) // tq * tq  # per-seg row pad; multiple of tq
     q_blocks_per_seg = tc_pad // tq
     num_q_blocks = NS * q_blocks_per_seg
 
-    # head block: batch as many kv heads per grid step (and per DMA
-    # descriptor) as the fp32 score block affords
     hb_budget = max(1, _SCORE_BUDGET // (4 * tq * G * ppb * S))
     HB = 1
     for cand in range(1, Hkv + 1):

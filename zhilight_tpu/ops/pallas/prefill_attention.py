@@ -52,11 +52,19 @@ NEG_INF = -2.0e38
 
 # kv tokens per block (pages_per_block * page_size aims at this)
 _KV_TOKENS_TARGET = 512
-# fp32 score-block budget [HB, rows, kv_block] — the dominant VMEM tenant.
-# Must leave room for acc/q/o blocks and the double-buffered kv scratch
-# under the ~16 MB scoped-VMEM limit (a 6 MB budget OOMed at Qwen-14B
-# packed-prefill geometry: G=5 grouped rows double the q/acc/o tenants).
-_SCORE_BUDGET = 4 * 1024 * 1024
+# scoped-VMEM limit for the kernel's live set (Mosaic's stack limit is
+# 16 MB; leave headroom for the compiler's own temporaries)
+_VMEM_LIMIT = 14 * 1024 * 1024
+
+
+def _vmem_per_head(rows: int, ppb: int, S: int, D2: int) -> int:
+    """Peak live bytes per batched head, from the observed failure modes:
+    two fp32 [rows, ppb*S] score-class buffers (s and p coexist), the fp32
+    accumulator, and the (double-buffered) q/o blocks."""
+    scores = 4 * rows * ppb * S
+    acc = 4 * rows * D2
+    qo = 2 * rows * D2 * 2  # q + o, storage dtype
+    return 2 * scores + acc + 2 * qo
 
 
 def _kernel_prefill_hm(
@@ -262,30 +270,28 @@ def paged_prefill_attention_hm_packed(
 
     # Tiling policy, in priority order:
     #   1. ONE q block per segment (tq = TC => single KV pass, no row pad) —
-    #      shrink the kv block (ppb) to make the score row fit the budget;
+    #      shrink the kv block (ppb) until the per-head live set fits;
     #   2. only split q when even a 4-page kv block cannot fit (huge TC*G);
     #   3. batch as many kv heads per grid step (and per DMA descriptor) as
-    #      the remaining budget affords.
+    #      the remaining VMEM affords.
     # A q-split costs KV re-reads AND padded rows (tc_pad > TC inflates every
-    # block tenant) — a 4 MB budget that forced tq=416 at TC=512, G=5 both
-    # overflowed scoped VMEM and read the context twice.
-    rows_cap = max(8, (4096 // G) // 8 * 8)  # bounds acc/q/o block tenants
-    tq = min(TC, rows_cap)
+    # block tenant), so it is the last resort.
+    tq = min(TC, max(8, (8192 // G) // 8 * 8))
     ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
-    while ppb > 4 and 4 * tq * G * ppb * S > _SCORE_BUDGET:
+    while ppb > 4 and _vmem_per_head(tq * G, ppb, S, D2) > _VMEM_LIMIT:
         ppb -= 1
-    if 4 * tq * G * ppb * S > _SCORE_BUDGET:
-        tq = max(8, _SCORE_BUDGET // (4 * G * ppb * S) // 8 * 8)
+    while tq > 8 and _vmem_per_head(tq * G, ppb, S, D2) > _VMEM_LIMIT:
+        tq = max(8, tq // 2 // 8 * 8)
     num_blocks = (maxp + ppb - 1) // ppb
     ppb = (maxp + num_blocks - 1) // num_blocks  # fit tightly (decode's trick)
     tc_pad = (TC + tq - 1) // tq * tq  # per-seg row pad; multiple of tq
     q_blocks_per_seg = tc_pad // tq
     num_q_blocks = NS * q_blocks_per_seg
 
-    hb_budget = max(1, _SCORE_BUDGET // (4 * tq * G * ppb * S))
+    per_head = _vmem_per_head(tq * G, ppb, S, D2) + 4 * ppb * S * D2  # + kv slot
     HB = 1
     for cand in range(1, Hkv + 1):
-        if Hkv % cand == 0 and cand <= hb_budget:
+        if Hkv % cand == 0 and cand * per_head <= _VMEM_LIMIT:
             HB = cand
     num_head_blocks = Hkv // HB
 

@@ -53,18 +53,21 @@ NEG_INF = -2.0e38
 # kv tokens per block (pages_per_block * page_size aims at this)
 _KV_TOKENS_TARGET = 512
 # scoped-VMEM limit for the kernel's live set (Mosaic's stack limit is
-# 16 MB; leave headroom for the compiler's own temporaries)
-_VMEM_LIMIT = 14 * 1024 * 1024
+# 16 MB; leave headroom for the compiler's own temporaries — a 14 MB model
+# still produced a 16.24 MB stack at the 14B single-seq chunk geometry)
+_VMEM_LIMIT = 12 * 1024 * 1024
 
 
 def _vmem_per_head(rows: int, ppb: int, S: int, D2: int) -> int:
     """Peak live bytes per batched head, from the observed failure modes:
     two fp32 [rows, ppb*S] score-class buffers (s and p coexist), the fp32
-    accumulator, and the (double-buffered) q/o blocks."""
+    accumulator, the (double-buffered) q/o blocks, and the two-slot kv
+    scratch."""
     scores = 4 * rows * ppb * S
     acc = 4 * rows * D2
     qo = 2 * rows * D2 * 2  # q + o, storage dtype
-    return 2 * scores + acc + 2 * qo
+    kv = 2 * ppb * S * D2 * 2
+    return 2 * scores + acc + 2 * qo + kv
 
 
 def _kernel_prefill_hm(
@@ -288,7 +291,7 @@ def paged_prefill_attention_hm_packed(
     q_blocks_per_seg = tc_pad // tq
     num_q_blocks = NS * q_blocks_per_seg
 
-    per_head = _vmem_per_head(tq * G, ppb, S, D2) + 4 * ppb * S * D2  # + kv slot
+    per_head = _vmem_per_head(tq * G, ppb, S, D2)
     HB = 1
     for cand in range(1, Hkv + 1):
         if Hkv % cand == 0 and cand * per_head <= _VMEM_LIMIT:

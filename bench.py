@@ -299,8 +299,8 @@ def stage_serving():
             return None, f"server not ready; log tail={' | '.join(tail)}"
 
         # 3) HTTP load at the reference method: 3.7k prompts, Poisson arrivals
-        qps_steps = os.environ.get("ZT_BENCH_QPS", "0.5,1.0")
-        nreq = os.environ.get("ZT_BENCH_NREQ", "12")
+        qps_steps = os.environ.get("ZT_BENCH_QPS", "0.25,0.5")
+        nreq = os.environ.get("ZT_BENCH_NREQ", "10")
         p = subprocess.run(
             [sys.executable, os.path.join(BASE, "tools", "benchmark_serving.py"),
              "--url", f"http://127.0.0.1:{SERVE_PORT}",

@@ -118,6 +118,10 @@ SHAPES = {
     "72b-qkv": ("72B qkv  [8192, 10240]", 8192, 10240),
     "72b-ffn": ("72B ffn  [8192, 29696]", 8192, 29696),
     "8b-ffn": ("8B  ffn  [4096, 14336]", 4096, 14336),
+    # Qwen2.5-14B serving-bench shapes
+    "14b-qkv": ("14B qkv  [5120, 7168]", 5120, 7168),
+    "14b-ffn": ("14B ffn  [5120, 27648]", 5120, 27648),
+    "14b-down": ("14B down [13824, 5120]", 13824, 5120),
 }
 
 if __name__ == "__main__":

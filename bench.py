@@ -342,6 +342,11 @@ def stage_serving():
                 QWEN14B_BASELINE["tpot_ms"] / head["tpot_mean_ms"], 3
             ),
             "output_tokens_per_s": head["output_tokens_per_s"],
+            "chips": 1,
+            "baseline_accelerators": 2,
+            "vs_baseline_per_accelerator": round(
+                2 * head["qps_achieved"] / QWEN14B_BASELINE["qps"], 3
+            ),
             "baseline": "ZhiLight 2xAD102 QPS 0.57 / TTFT 795.33 / TPOT 31.98 "
                         "(docs/benchmarks/benchmarks.md:84-95)",
             "steps": steps,

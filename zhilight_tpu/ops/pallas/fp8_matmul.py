@@ -1,0 +1,108 @@
+"""Pallas TPU kernel: fused dequantize + matmul for FP8 block-scaled weights
+(DeepSeek-V3 128x128 block format).
+
+TPU-native replacement for the reference's DeepGEMM path (3rd/deep_gemm,
+src/nn/quant/fp8/): the fp8 tile is DMA'd to VMEM (1 byte/weight of HBM
+traffic), converted to bf16 on the VPU and scaled per 128x128 block, and fed
+to the MXU — the weight never round-trips through HBM in bf16. The XLA
+fallback materializes a dequantized copy and measured 9.65 bytes/weight on
+v5e (tools/probe_fp8.py); v5e has no native fp8 MXU ingest (Hopper does,
+hence DeepGEMM), so the ceiling here is the bf16 MXU ingest rate with half
+the HBM bytes — parity with a bf16 dense GEMM, not the 2x of the int4
+kernel, but ~8x over the materializing path.
+
+Grid (n, m, k) with k innermost; fp32 accumulation in VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fp8_block_matmul"]
+
+_B = 128  # fp8 block edge (DeepSeek block_size)
+
+
+def _fp8_kernel(
+    x_ref,   # [TM, TK] bf16
+    w_ref,   # [TK, TN] fp8
+    s_ref,   # [TK//B, TN//B] f32
+    o_ref,   # [TM, TN]
+    acc_ref, # [TM, TN] f32
+    *,
+    k_steps: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    TK, TN = w_ref.shape
+    for g in range(TK // _B):
+        w = w_ref[g * _B : (g + 1) * _B, :].astype(x_ref.dtype)
+        pdot = jax.lax.dot(
+            x_ref[:, g * _B : (g + 1) * _B], w,
+            preferred_element_type=jnp.float32,
+        )  # [TM, TN]
+        # per-(k-block, n-block) scale: one f32 per 128 output lanes
+        srow = jnp.repeat(s_ref[g, :], _B, total_repeat_length=TN)  # [TN]
+        acc_ref[...] += pdot * srow[None, :]
+
+    @pl.when(k == k_steps - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def fp8_block_matmul(
+    x: jax.Array,            # [..., K]
+    w_f8: jax.Array,         # [K, N] float8_e4m3fn
+    block_scale: jax.Array,  # [K/128, N/128] f32
+    interpret: bool = False,
+) -> jax.Array:
+    orig_shape = x.shape
+    K, N = w_f8.shape
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    if x2.dtype != jnp.bfloat16:
+        x2 = x2.astype(jnp.bfloat16)
+
+    TM = min(max(8, M), 256)
+    TK = _B
+    while TK < 1024 and K % (TK * 2) == 0:
+        TK *= 2
+    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    Mp = (M + TM - 1) // TM * TM
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    k_steps = K // TK
+
+    out = pl.pallas_call(
+        functools.partial(_fp8_kernel, k_steps=k_steps),
+        grid=(N // TN, Mp // TM, k_steps),
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda n, m, k: (m, k)),
+            pl.BlockSpec((TK, TN), lambda n, m, k: (k, n)),
+            pl.BlockSpec((TK // _B, TN // _B), lambda n, m, k: (k, n)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda n, m, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w_f8, block_scale)
+    if Mp != M:
+        out = out[:M]
+    return out.astype(x.dtype).reshape(orig_shape[:-1] + (N,))

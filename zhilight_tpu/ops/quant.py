@@ -149,11 +149,23 @@ def dequant_int4(w_p: jax.Array, scales: jax.Array, zeros: jax.Array, dtype) -> 
 
 def fp8_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     """FP8 weight GEMM: per-tensor/channel scale or 128x128 block scales
-    (DeepSeek fp8-block / deep_gemm class)."""
+    (DeepSeek fp8-block / deep_gemm class). The XLA dequant path materializes
+    a bf16 weight copy in HBM (measured 9.65 bytes/weight on v5e,
+    tools/probe_fp8.py), so block-scaled weights route to the fused Pallas
+    kernel on TPU (1 byte/weight streamed, dequant in VMEM)."""
     w = p["w_f8"]
     if "block_scale" in p:
         bs = p["block_scale"]  # [in/B, out/B]
         K, N = w.shape
+        if (
+            _use_pallas()
+            and K % 128 == 0
+            and N % 128 == 0
+            and bs.shape == (K // 128, N // 128)
+        ):
+            from .pallas.fp8_matmul import fp8_block_matmul
+
+            return fp8_block_matmul(x, w, bs)
         Bk = K // bs.shape[0]
         Bn = N // bs.shape[1]
         wf = w.astype(jnp.float32).reshape(bs.shape[0], Bk, bs.shape[1], Bn)

@@ -54,7 +54,7 @@ def profile_ms(f, *args):
     us = sum(
         float(r["total_self_time"])
         for r in rows
-        if r.get("host_or_device") == "Device"
+        if r.get("host_or_device") == "Device" and r.get("operation", r.get("op_name", "")) != "IDLE"
     )
     return us / N_TRACE / 1000.0
 

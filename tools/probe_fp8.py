@@ -41,7 +41,7 @@ def dev_ms(fn, *args, n=20):
     cols = [c["id"] for c in table["cols"]]
     rows = [dict(zip(cols, [c.get("v") for c in r["c"]])) for r in table["rows"]]
     return sum(
-        float(r["total_self_time"]) for r in rows if r.get("host_or_device") == "Device"
+        float(r["total_self_time"]) for r in rows if r.get("host_or_device") == "Device" and r.get("operation", r.get("op_name", "")) != "IDLE"
     ) / n / 1000.0
 
 

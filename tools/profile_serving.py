@@ -34,7 +34,7 @@ def op_stats(trace_dir, n_calls):
     table = obj[0] if isinstance(obj, list) else obj
     cols = [c["id"] for c in table["cols"]]
     rows = [dict(zip(cols, [c.get("v") for c in r["c"]])) for r in table["rows"]]
-    dev = [r for r in rows if r.get("host_or_device") == "Device"]
+    dev = [r for r in rows if r.get("host_or_device") == "Device" and r.get("operation", r.get("op_name", "")) != "IDLE"]
     out = []
     for r in dev:
         out.append((float(r["total_self_time"]) / n_calls / 1000.0, r.get("operation", r.get("op_name", "?"))))

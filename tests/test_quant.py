@@ -307,3 +307,42 @@ def test_fp8_block_pallas_kernel_interpret():
         fp8_linear({"w_f8": w8, "block_scale": bs}, x), np.float32
     )
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fp8_checkpoint_loads_with_scales_applied(monkeypatch):
+    """Regression: fp8 checkpoint weights went through the dense rule as an
+    UNSCALED bf16 cast (block scales ignored). Default path now dequantizes
+    with scales at load; ZT_FP8_KEEP=1 keeps fp8 + block_scale for the
+    fused kernel."""
+    import ml_dtypes
+
+    from zhilight_tpu.config import ModelConfig
+    from zhilight_tpu.utils.hf_loader import map_hf_params
+
+    rng = np.random.RandomState(9)
+    O, I, B = 256, 128, 128  # HF [out, in]
+    w8 = rng.randn(O, I).astype(np.float32).astype(ml_dtypes.float8_e4m3fn)
+    sc = (rng.rand(O // B, I // B).astype(np.float32) * 0.05 + 0.01)
+    cfg = ModelConfig(
+        model_type="llama", num_layers=1, dim_model=I, num_heads=4, dim_head=32,
+        num_kv_heads=2, dim_ff=O, vocab_size=64, dtype="bfloat16",
+    )
+    tensors = [
+        ("model.layers.0.mlp.gate_proj.weight", w8),
+        ("model.layers.0.mlp.gate_proj.weight_scale_inv", sc),
+    ]
+    tree = map_hf_params(list(tensors), cfg, strict=False, quant_method="fp8")
+    proj = tree["layers"]["0"]["mlp"]["gate_proj"]
+    assert "w" in proj and "w_f8" not in proj
+    want = (
+        w8.astype(np.float32).reshape(O // B, B, I // B, I)
+        * sc[:, None, :, None]
+    ).reshape(O, I).T
+    got = np.asarray(proj["w"], np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    monkeypatch.setenv("ZT_FP8_KEEP", "1")
+    tree = map_hf_params(list(tensors), cfg, strict=False, quant_method="fp8")
+    proj = tree["layers"]["0"]["mlp"]["gate_proj"]
+    assert proj["w_f8"].shape == (I, O)
+    assert proj["block_scale"].shape == (I // B, O // B)

@@ -31,7 +31,7 @@ _B = 128  # fp8 block edge (DeepSeek block_size)
 def _fp8_kernel(
     x_ref,   # [TM, TK] bf16
     w_ref,   # [TK, TN] fp8
-    s_ref,   # [TK//B, TN//B] f32
+    s_ref,   # [K//B, TN] f32: scales pre-expanded along N (full K-block rows)
     o_ref,   # [TM, TN]
     acc_ref, # [TM, TN] f32
     *,
@@ -50,8 +50,8 @@ def _fp8_kernel(
             x_ref[:, g * _B : (g + 1) * _B], w,
             preferred_element_type=jnp.float32,
         )  # [TM, TN]
-        # per-(k-block, n-block) scale: one f32 per 128 output lanes
-        srow = jnp.repeat(s_ref[g, :], _B, total_repeat_length=TN)  # [TN]
+        # per-(k-block, n-block) scale: one f32 row per 128 K rows
+        srow = s_ref[k * (TK // _B) + g, :]  # [TN]
         acc_ref[...] += pdot * srow[None, :]
 
     @pl.when(k == k_steps - 1)
@@ -82,13 +82,19 @@ def fp8_block_matmul(
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     k_steps = K // TK
 
+    # expand scales to lane width (one f32 row per 128 K rows, full N): a
+    # [TK//B, TN//B] block violates TPU tiling (last dims must be 8/128-
+    # divisible); the expansion adds K*N/32 bytes of traffic, ~3% of the
+    # fp8 weight stream
+    s_exp = jnp.repeat(block_scale, _B, axis=1, total_repeat_length=N)
+
     out = pl.pallas_call(
         functools.partial(_fp8_kernel, k_steps=k_steps),
         grid=(N // TN, Mp // TM, k_steps),
         in_specs=[
             pl.BlockSpec((TM, TK), lambda n, m, k: (m, k)),
             pl.BlockSpec((TK, TN), lambda n, m, k: (k, n)),
-            pl.BlockSpec((TK // _B, TN // _B), lambda n, m, k: (k, n)),
+            pl.BlockSpec((K // _B, TN), lambda n, m, k: (0, n)),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda n, m, k: (m, n)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
@@ -102,7 +108,7 @@ def fp8_block_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, w_f8, block_scale)
+    )(x2, w_f8, s_exp)
     if Mp != M:
         out = out[:M]
     return out.astype(x.dtype).reshape(orig_shape[:-1] + (N,))

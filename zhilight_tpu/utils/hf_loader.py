@@ -270,6 +270,17 @@ def map_hf_params(
                 kind = suf
                 base = name[: -(len(suf) + 1)] + ".weight"
                 break
+        if (
+            kind is None
+            and quant_method == "fp8"
+            and name.endswith(".weight")
+            and arr.dtype.itemsize == 1
+        ):
+            # fp8 checkpoints keep the projection under its plain .weight
+            # name; stash the raw fp8 payload so the block scales are
+            # APPLIED at conversion (the dense rule used to load it as an
+            # unscaled bf16 cast — garbage numerics)
+            kind = "weight"
         if kind is not None:
             mapped = map_hf_name(base)
             if mapped is None:
@@ -311,6 +322,68 @@ def map_hf_params(
     return tree
 
 
+def _fp8_dequant_host(w_oi: np.ndarray, scale_oi, dtype) -> np.ndarray:
+    """[out, in] fp8 + [out/B, in/B] scales -> [in, out] dequantized bf16,
+    all on host via torch (vectorized fp8 decode; numpy/ml_dtypes is
+    scalar-slow)."""
+    import ml_dtypes
+    import torch
+
+    t = torch.from_numpy(np.ascontiguousarray(w_oi).view(np.uint8)).view(
+        torch.float8_e4m3fn
+    ).to(torch.float32)
+    if scale_oi is not None:
+        so, si = scale_oi.shape
+        Bo = w_oi.shape[0] // so
+        Bi = w_oi.shape[1] // si
+        s = torch.from_numpy(np.ascontiguousarray(scale_oi, np.float32))
+        t = (t.reshape(so, Bo, si, Bi) * s[:, None, :, None]).reshape(w_oi.shape)
+    out = t.t().contiguous().to(torch.bfloat16)
+    return out.view(torch.int16).numpy().view(ml_dtypes.bfloat16)
+
+
+def _convert_fp8_entry(tree, path, entry, dtype):
+    """One fp8 linear (or per-expert stack): apply the 128x128 block scales.
+
+    Default: dequantize to bf16 AT LOAD — on v5e the fp8->bf16 VPU convert
+    inside a fused kernel is slower than streaming bf16 (no native fp8 MXU
+    ingest; tools/probe_fp8.py), so full-speed serving wants bf16 weights.
+    ``ZT_FP8_KEEP=1`` keeps the fp8 payload + block_scale for the Pallas
+    dequant-in-VMEM kernel instead (half the HBM footprint/traffic,
+    VPU-convert-bound: the HBM-capacity trade, e.g. fitting a bigger model).
+    """
+    import jax.numpy as jnp
+
+    w = entry.get("weight")
+    scale = entry.get("weight_scale_inv", entry.get("weight_scale"))
+    keep = os.environ.get("ZT_FP8_KEEP") == "1"
+    if w is None:
+        # scale tensor without a stashed weight (non-fp8-dtype weight went
+        # through the dense rule): record the scale for runtime use
+        if scale is not None:
+            _set_path(
+                tree, path + ".block_scale",
+                jnp.asarray(np.ascontiguousarray(scale.T), jnp.float32),
+            )
+        return
+    per_expert = isinstance(w, dict)
+    if per_expert:
+        E = max(w) + 1
+        ws = [w[e] for e in range(E)]
+        ss = [scale[e] if isinstance(scale, dict) else scale for e in range(E)]
+    else:
+        ws, ss = [w], [scale]
+    if keep:
+        wt = np.stack([np.ascontiguousarray(x.T) for x in ws]) if per_expert else np.ascontiguousarray(ws[0].T)
+        st = np.stack([np.ascontiguousarray(s.T) for s in ss]) if per_expert else np.ascontiguousarray(ss[0].T)
+        _set_path(tree, path + ".w_f8", jnp.asarray(wt))
+        _set_path(tree, path + ".block_scale", jnp.asarray(st, jnp.float32))
+        return
+    deq = [_fp8_dequant_host(x, s, dtype) for x, s in zip(ws, ss)]
+    arr = np.stack(deq) if per_expert else deq[0]
+    _set_path(tree, path + ".w", jnp.asarray(arr))
+
+
 def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
     import jax.numpy as jnp
 
@@ -327,11 +400,7 @@ def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
 
     for path, entry in quant_stash.items():
         if quant_method == "fp8":
-            # fp8 checkpoint: .weight handled by the dense rule; the scale
-            # tensors land here
-            scale = entry.get("weight_scale_inv", entry.get("weight_scale"))
-            if scale is not None:
-                _set_path(tree, path + ".block_scale", jnp.asarray(np.ascontiguousarray(scale.T), jnp.float32))
+            _convert_fp8_entry(tree, path, entry, dtype)
             continue
         first = next(iter(entry.values()))
         if isinstance(first, dict):  # per-expert quant tensors

@@ -76,14 +76,14 @@ def stage_minicpm():
     budget = int(os.environ.get("ZT_BENCH_MINICPM_BUDGET_S", "1500"))
     cmd = [sys.executable, os.path.join(BASE, "bench.py"), "--section", "minicpm"]
     obj, err = _run(cmd, budget, "minicpm")
-    if obj is None and os.environ.get("ZT_WINDOW_KV") != "0":
-        # resilience: a freshly-landed kernel path failing to compile on the
-        # chip must not cost the round its number — retry without window-KV
+    if obj is None and os.environ.get("ZT_NO_PALLAS") != "1":
+        # resilience: a freshly-landed kernel failing to compile on the chip
+        # must not cost the round its number — retry on the XLA fallbacks
         env = _env()
-        env["ZT_WINDOW_KV"] = "0"
-        print(f"bench: minicpm failed ({err}); retrying with ZT_WINDOW_KV=0",
+        env["ZT_NO_PALLAS"] = "1"
+        print(f"bench: minicpm failed ({err}); retrying with ZT_NO_PALLAS=1",
               file=sys.stderr, flush=True)
-        obj, err = _run(cmd, budget, "minicpm[ZT_WINDOW_KV=0]", env=env)
+        obj, err = _run(cmd, budget, "minicpm[ZT_NO_PALLAS=1]", env=env)
     return obj, err
 
 

@@ -526,13 +526,17 @@ class ModelExecutor:
     def _use_side_window(self, num_steps: int) -> bool:
         """Window-batched KV writes: the decode window accumulates each
         layer's new rows in a side buffer and RMWs the pool once per window
-        (<=2 page RMWs per slot) instead of once per step. The per-step write
-        kernels are latency-bound on v5e (sequential DMA chains), so batching
-        them out of the loop is the main lever on the pallas roofline gap.
-        ZT_WINDOW_KV=0 reverts to per-step writes."""
+        (<=2 page RMWs per slot) instead of once per step.
+
+        OFF by default since r4: measured SLOWER than per-step writes at the
+        bench geometry (MiniCPM-2B B=16 ctx 512: 1306.8 tok/s per-step vs
+        1259.3 with side buffers — the per-step XLA side-attention merge and
+        flush cost more than the write kernels they replace, now that the
+        head-major write kernels batch all heads per descriptor).
+        ZT_WINDOW_KV=1 opts back in."""
         import os
 
-        if os.environ.get("ZT_WINDOW_KV") == "0":
+        if os.environ.get("ZT_WINDOW_KV") != "1":
             return False
         if num_steps < 2 or num_steps > self.page_size:
             return False

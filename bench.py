@@ -248,7 +248,7 @@ def _timeout(signum, frame):
 def stage_serving():
     if os.environ.get("ZT_BENCH_SKIP_SERVING") == "1":
         return None, "serving: skipped (ZT_BENCH_SKIP_SERVING=1)"
-    budget = int(os.environ.get("ZT_BENCH_SERVING_BUDGET_S", "2400"))
+    budget = int(os.environ.get("ZT_BENCH_SERVING_BUDGET_S", "3300"))
     deadline = time.monotonic() + budget
 
     # 1) full-size random-weight checkpoint at the exact GPTQ on-disk format

@@ -346,3 +346,27 @@ def test_fp8_checkpoint_loads_with_scales_applied(monkeypatch):
     proj = tree["layers"]["0"]["mlp"]["gate_proj"]
     assert proj["w_f8"].shape == (I, O)
     assert proj["block_scale"].shape == (I // B, O // B)
+
+
+def test_fp8_dequant_host_scale_layouts():
+    """Per-tensor (0-d) and per-channel (1-d) fp8 scales must dequantize
+    (advisor r4: previously crashed on non-2-D scales)."""
+    import ml_dtypes
+
+    from zhilight_tpu.utils.hf_loader import _fp8_dequant_host
+
+    rng = np.random.RandomState(3)
+    O, I = 32, 64
+    w8 = rng.randn(O, I).astype(np.float32).astype(ml_dtypes.float8_e4m3fn)
+    wf = w8.astype(np.float32)
+
+    for scale in (np.float32(0.5), np.full(O, 0.25, np.float32)):
+        got = _fp8_dequant_host(w8, scale, None).astype(np.float32)
+        want = (wf * (scale if np.ndim(scale) == 0 else scale[:, None])).T
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+    # 3-D scale layout -> clear error, not a crash
+    import pytest
+
+    with pytest.raises(ValueError, match="fp8 weight_scale"):
+        _fp8_dequant_host(w8, np.ones((2, 2, 2), np.float32), None)

@@ -559,7 +559,7 @@ class ModelExecutor:
         return _use_pallas_decode(self.cfg, cache) or _pallas_interpret()
 
     def _decode_multi_fn(self, num_steps: int, num_logprobs: int, nb: int = 0, np_: int = 0,
-                         greedy_only: bool = False):
+                         greedy_only: bool = False, donate: bool = True):
         """K decode steps in one program via lax.scan: sampled tokens feed the
         next step on device, positions/context_lens/slot mappings advance on
         device, and per-slot ``limits`` freeze slots that hit their token
@@ -576,7 +576,7 @@ class ModelExecutor:
 
         @functools.partial(
             jax.jit,
-            donate_argnums=(2, 3),
+            donate_argnums=(2, 3) if donate else (),
             out_shardings=(
                 rep, rep, rep, rep, self._cache_fmt, self._state_fmt, rep, rep, rep
             ),

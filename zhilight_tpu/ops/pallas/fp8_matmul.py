@@ -72,7 +72,7 @@ def fp8_block_matmul(
     if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
 
-    TM = min(max(8, M), 256)
+    TM = min((max(8, M) + 7) // 8 * 8, 256)  # sublane-aligned q rows
     TK = _B
     while TK < 1024 and K % (TK * 2) == 0:
         TK *= 2

@@ -279,7 +279,7 @@ def paged_prefill_attention_hm_packed(
     #      the remaining VMEM affords.
     # A q-split costs KV re-reads AND padded rows (tc_pad > TC inflates every
     # block tenant), so it is the last resort.
-    tq = min(TC, max(8, (8192 // G) // 8 * 8))
+    tq = max(8, min(TC, max(8, (8192 // G) // 8 * 8)) // 8 * 8)
     ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
     while ppb > 4 and _vmem_per_head(tq * G, ppb, S, D2) > _VMEM_LIMIT:
         ppb -= 1

@@ -323,9 +323,10 @@ def map_hf_params(
 
 
 def _fp8_dequant_host(w_oi: np.ndarray, scale_oi, dtype) -> np.ndarray:
-    """[out, in] fp8 + [out/B, in/B] scales -> [in, out] dequantized bf16,
+    """[out, in] fp8 + block/channel/tensor scales -> [in, out] dequantized,
     all on host via torch (vectorized fp8 decode; numpy/ml_dtypes is
-    scalar-slow)."""
+    scalar-slow). Scales may be 2-D [out/B, in/B] (block), 1-D [out]
+    (per-channel) or 0-D (per-tensor)."""
     import ml_dtypes
     import torch
 
@@ -333,13 +334,29 @@ def _fp8_dequant_host(w_oi: np.ndarray, scale_oi, dtype) -> np.ndarray:
         torch.float8_e4m3fn
     ).to(torch.float32)
     if scale_oi is not None:
-        so, si = scale_oi.shape
-        Bo = w_oi.shape[0] // so
-        Bi = w_oi.shape[1] // si
+        scale_oi = np.asarray(scale_oi)
         s = torch.from_numpy(np.ascontiguousarray(scale_oi, np.float32))
-        t = (t.reshape(so, Bo, si, Bi) * s[:, None, :, None]).reshape(w_oi.shape)
-    out = t.t().contiguous().to(torch.bfloat16)
-    return out.view(torch.int16).numpy().view(ml_dtypes.bfloat16)
+        if scale_oi.ndim == 2:
+            so, si = scale_oi.shape
+            Bo = w_oi.shape[0] // so
+            Bi = w_oi.shape[1] // si
+            t = (t.reshape(so, Bo, si, Bi) * s[:, None, :, None]).reshape(w_oi.shape)
+        elif scale_oi.ndim == 1:  # per-output-channel
+            t = t * s[:, None]
+        elif scale_oi.ndim == 0:  # per-tensor
+            t = t * s
+        else:
+            raise ValueError(
+                f"unsupported fp8 weight_scale layout: ndim={scale_oi.ndim}"
+            )
+    torch_dtype = {
+        np.dtype(np.float16): torch.float16,
+        np.dtype(np.float32): torch.float32,
+    }.get(np.dtype(dtype) if dtype is not None else None, torch.bfloat16)
+    out = t.t().contiguous().to(torch_dtype)
+    if torch_dtype is torch.bfloat16:
+        return out.view(torch.int16).numpy().view(ml_dtypes.bfloat16)
+    return out.numpy()
 
 
 def _convert_fp8_entry(tree, path, entry, dtype):
@@ -374,6 +391,12 @@ def _convert_fp8_entry(tree, path, entry, dtype):
     else:
         ws, ss = [w], [scale]
     if keep:
+        if any(s is None for s in ss) or any(np.asarray(s).ndim != 2 for s in ss):
+            raise ValueError(
+                f"ZT_FP8_KEEP=1 requires 2-D block scales for every fp8 "
+                f"weight; {path} has scale="
+                f"{[None if s is None else np.asarray(s).shape for s in ss]}"
+            )
         wt = np.stack([np.ascontiguousarray(x.T) for x in ws]) if per_expert else np.ascontiguousarray(ws[0].T)
         st = np.stack([np.ascontiguousarray(s.T) for s in ss]) if per_expert else np.ascontiguousarray(ss[0].T)
         _set_path(tree, path + ".w_f8", jnp.asarray(wt))

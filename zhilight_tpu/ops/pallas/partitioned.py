@@ -51,7 +51,7 @@ def _shardings(tree):
 
 def paged_decode_attention_hm_sharded(
     q, kv_pool, page_tables, context_lens, page_size, scale,
-    sliding_window=0, fetch_pages=8, interpret=False,
+    sliding_window=0, fetch_pages=None, interpret=False,
 ):
     """paged_decode_attention_hm with an SPMD rule: head-sharded q/pool (and
     batch-sharded metadata, for attention-DP) run the kernel per shard.
@@ -99,7 +99,7 @@ def paged_decode_attention_hm_sharded(
 
 def paged_decode_attention_hm_q_sharded(
     q, kv_pool, k_scales, v_scales, page_tables, context_lens, page_size,
-    scale, sliding_window=0, fetch_pages=8, interpret=False,
+    scale, sliding_window=0, fetch_pages=None, interpret=False,
 ):
     """paged_decode_attention_hm_q with an SPMD rule: the int8 pool shards
     its kv-head dim, the slot-major [N, Hkv] scales shard their HEAD dim

@@ -33,6 +33,8 @@ SERVE_PORT = int(os.environ.get("ZT_BENCH_PORT", "18431"))
 MINICPM_DECODE_BASELINE = 613.0  # 16 streams / 26.1 ms TPOT (BASELINE.md)
 MINICPM_TTFT_BASELINE = 434.64
 QWEN14B_BASELINE = {"qps": 0.57, "ttft_ms": 795.33, "tpot_ms": 31.98}
+DSL_MODEL_DIR = os.environ.get("ZT_BENCH_DSL_MODEL_DIR", "/tmp/dsl-w4")
+DEEPSEEK_BASELINE = {"qps": 0.16, "ttft_ms": 1590.96, "tpot_ms": 115.97}
 
 
 def _env():
@@ -175,29 +177,50 @@ def section_minicpm():
     sp1 = SamplingParams.greedy(1)
 
     def prefill_once():
-        for c in range(n_chunks):
+        # mirror the scheduler: chain full chunks (one dispatch per chain)
+        # when the executor supports device-built meta, final chunk samples
+        pt_np = np.full(ex.max_pages_per_seq, -1, np.int32)
+        pt_np[:n_pages] = pages
+        pt_dev = jnp.asarray(pt_np)
+        c = 0
+        while c < n_chunks:
             start = c * CHUNK
             chunk = min(CHUNK, PROMPT - start)
+            is_last = c + 1 == n_chunks
+            chainable = (n_chunks - 1) - c
+            if (
+                not is_last and chunk == CHUNK and ex.supports_fused_chunk
+                and chainable >= 2
+            ):
+                C = next((x for x in ex.CHAIN_SIZES if x <= chainable), None)
+                if C is not None:
+                    toks = prompt_tokens[start : start + C * CHUNK].reshape(C, CHUNK)
+                    ex.run_chunk_chain(toks, pt_dev, start)
+                    c += C
+                    continue
             bucket = ex.pick_bucket(chunk)
             toks = np.zeros(bucket, np.int32)
             toks[:chunk] = prompt_tokens[start : start + chunk]
+            if not is_last and ex.supports_fused_chunk:
+                ex.run_chunk_fused(toks, pt_dev, start, chunk)
+                c += 1
+                continue
             pos = np.zeros(bucket, np.int32)
             pos[:chunk] = np.arange(start, start + chunk)
             slots = np.full(bucket, -1, np.int32)
             slots[:chunk] = np.arange(start, start + chunk)
-            pt = np.full(ex.max_pages_per_seq, -1, np.int32)
-            pt[:n_pages] = pages
             meta = PrefillMeta(
                 positions=jnp.asarray(pos),
                 slot_mapping=jnp.asarray(slots),
-                page_table=jnp.asarray(pt),
+                page_table=pt_dev,
                 cache_len=jnp.int32(start),
                 q_len=jnp.int32(chunk),
             )
-            if c + 1 < n_chunks:
+            if not is_last:
                 ex.run_chunk(toks, meta)
             else:
                 tok, _, _, _ = ex.run_prefill(toks, meta, sp1, 0, 0)
+            c += 1
         return tok
 
     ttft_ms = None
@@ -245,19 +268,34 @@ def _timeout(signum, frame):
 # stage: Qwen2.5-14B W4A16 serving (real server + HTTP load)
 # ---------------------------------------------------------------------------
 
-def stage_serving():
-    if os.environ.get("ZT_BENCH_SKIP_SERVING") == "1":
-        return None, "serving: skipped (ZT_BENCH_SKIP_SERVING=1)"
-    budget = int(os.environ.get("ZT_BENCH_SERVING_BUDGET_S", "3300"))
+def _serving_stage(
+    preset: str,
+    model_dir: str,
+    budget: int,
+    *,
+    max_model_len: int,
+    batch: int,
+    input_len: int,
+    qps_steps: str,
+    nreq: str,
+    metric: str,
+    model_label: str,
+    baseline: dict,
+    baseline_accels: int,
+    baseline_cite: str,
+    server_extra=(),
+    port_off: int = 0,
+):
+    """Generic real-server stepped-QPS load stage (reference stepped-QPS
+    method, docs/benchmarks/README.md:9-45)."""
     deadline = time.monotonic() + budget
 
-    # 1) full-size random-weight checkpoint at the exact GPTQ on-disk format
-    if not os.path.exists(os.path.join(MODEL_DIR, "config.json")):
-        obj, err = None, None
+    # 1) full-size random-weight checkpoint at the exact on-disk format
+    if not os.path.exists(os.path.join(model_dir, "config.json")):
         try:
             p = subprocess.run(
                 [sys.executable, os.path.join(BASE, "tools", "make_bench_model.py"),
-                 "qwen2.5-14b-gptq", MODEL_DIR],
+                 preset, model_dir],
                 capture_output=True, text=True,
                 timeout=max(deadline - time.monotonic(), 60), env=_env(), cwd=BASE,
             )
@@ -267,15 +305,17 @@ def stage_serving():
             return None, "make_bench_model: timeout"
 
     # 2) the real OpenAI server on the chip
-    log_path = "/tmp/zt-bench-serve.log"
+    port = SERVE_PORT + port_off
+    log_path = f"/tmp/zt-bench-serve-{preset}.log"
     log = open(log_path, "w")
     server = subprocess.Popen(
         [sys.executable, "-m", "zhilight_tpu.server.openai.api_server",
-         "--model-path", MODEL_DIR, "--port", str(SERVE_PORT),
-         "--max-model-len", "3904",
-         "--dyn-max-batch-size", "8",
-         "--max-total-token", str(8 * 3904),
-         "--chunk-size", os.environ.get("ZT_BENCH_CHUNK", "512")],
+         "--model-path", model_dir, "--port", str(port),
+         "--max-model-len", str(max_model_len),
+         "--dyn-max-batch-size", str(batch),
+         "--max-total-token", str(batch * max_model_len),
+         "--chunk-size", os.environ.get("ZT_BENCH_CHUNK", "512"),
+         *server_extra],
         stdout=log, stderr=log, env=_env(), cwd=BASE,
     )
     try:
@@ -287,7 +327,7 @@ def stage_serving():
                 break
             try:
                 with urllib.request.urlopen(
-                    f"http://127.0.0.1:{SERVE_PORT}/health", timeout=2
+                    f"http://127.0.0.1:{port}/health", timeout=2
                 ) as r:
                     if r.status == 200:
                         ready = True
@@ -298,14 +338,12 @@ def stage_serving():
             tail = open(log_path).read().strip().splitlines()[-6:]
             return None, f"server not ready; log tail={' | '.join(tail)}"
 
-        # 3) HTTP load at the reference method: 3.7k prompts, Poisson arrivals
-        qps_steps = os.environ.get("ZT_BENCH_QPS", "0.25,0.5")
-        nreq = os.environ.get("ZT_BENCH_NREQ", "10")
+        # 3) HTTP load at the reference method: long prompts, Poisson arrivals
         p = subprocess.run(
             [sys.executable, os.path.join(BASE, "tools", "benchmark_serving.py"),
-             "--url", f"http://127.0.0.1:{SERVE_PORT}",
+             "--url", f"http://127.0.0.1:{port}",
              "--qps", qps_steps, "--num-requests", nreq,
-             "--input-len", "3712", "--output-len", "64"],
+             "--input-len", str(input_len), "--output-len", "64"],
             capture_output=True, text=True,
             timeout=max(deadline - time.monotonic(), 60), env=_env(), cwd=BASE,
         )
@@ -326,29 +364,28 @@ def stage_serving():
             stable or steps, key=lambda s: s["qps_achieved"]
         )
         row = {
-            "metric": "serving_qwen2.5-14b_w4a16_qps",
-            "model": "qwen2.5-14b-gptq-int4-geometry",
+            "metric": metric,
+            "model": model_label,
             "value": head["qps_achieved"],
             "unit": "req/s (1 chip)",
-            "vs_baseline": round(head["qps_achieved"] / QWEN14B_BASELINE["qps"], 3),
+            "vs_baseline": round(head["qps_achieved"] / baseline["qps"], 3),
             "ttft_ms": head["ttft_mean_ms"],
             "ttft_p95_ms": head["ttft_p95_ms"],
             "ttft_vs_baseline": round(
-                QWEN14B_BASELINE["ttft_ms"] / head["ttft_mean_ms"], 3
+                baseline["ttft_ms"] / head["ttft_mean_ms"], 3
             ),
             "tpot_ms": head["tpot_mean_ms"],
             "tpot_p95_ms": head["tpot_p95_ms"],
             "tpot_vs_baseline": round(
-                QWEN14B_BASELINE["tpot_ms"] / head["tpot_mean_ms"], 3
+                baseline["tpot_ms"] / head["tpot_mean_ms"], 3
             ),
             "output_tokens_per_s": head["output_tokens_per_s"],
             "chips": 1,
-            "baseline_accelerators": 2,
+            "baseline_accelerators": baseline_accels,
             "vs_baseline_per_accelerator": round(
-                2 * head["qps_achieved"] / QWEN14B_BASELINE["qps"], 3
+                baseline_accels * head["qps_achieved"] / baseline["qps"], 3
             ),
-            "baseline": "ZhiLight 2xAD102 QPS 0.57 / TTFT 795.33 / TPOT 31.98 "
-                        "(docs/benchmarks/benchmarks.md:84-95)",
+            "baseline": baseline_cite,
             "steps": steps,
         }
         return row, None
@@ -359,6 +396,55 @@ def stage_serving():
         except subprocess.TimeoutExpired:
             server.kill()
         log.close()
+
+
+def stage_serving():
+    """Qwen2.5-14B GPTQ-Int4 geometry through the real server."""
+    if os.environ.get("ZT_BENCH_SKIP_SERVING") == "1":
+        return None, "serving: skipped (ZT_BENCH_SKIP_SERVING=1)"
+    budget = int(os.environ.get("ZT_BENCH_SERVING_BUDGET_S", "3300"))
+    return _serving_stage(
+        "qwen2.5-14b-gptq", MODEL_DIR, budget,
+        max_model_len=3904, batch=8, input_len=3712,
+        qps_steps=os.environ.get("ZT_BENCH_QPS", "0.25,0.3,0.35,0.4"),
+        nreq=os.environ.get("ZT_BENCH_NREQ", "24"),
+        metric="serving_qwen2.5-14b_w4a16_qps",
+        model_label="qwen2.5-14b-gptq-int4-geometry",
+        baseline=QWEN14B_BASELINE,
+        baseline_accels=2,
+        baseline_cite="ZhiLight 2xAD102 QPS 0.57 / TTFT 795.33 / TPOT 31.98 "
+                      "(docs/benchmarks/benchmarks.md:84-95)",
+        server_extra=tuple(
+            x for kv in os.environ.get("ZT_BENCH_SERVER_EXTRA", "").split()
+            for x in [kv]
+        ),
+    )
+
+
+def stage_deepseek():
+    """DeepSeek-V2-Lite geometry (MLA + MoE + W4A16 expert stacks) through
+    the real server — the single-chip stand-in for the reference's flagship
+    DeepSeek-R1 AWQ row (docs/benchmarks/benchmarks.md:27-45; 2.8k prompts).
+    The absolute QPS is not comparable (15.7B-geometry vs 671B), so the row
+    records the reference numbers as context, not a ratio target."""
+    if os.environ.get("ZT_BENCH_SKIP_DEEPSEEK") == "1":
+        return None, "deepseek: skipped (ZT_BENCH_SKIP_DEEPSEEK=1)"
+    budget = int(os.environ.get("ZT_BENCH_DEEPSEEK_BUDGET_S", "4200"))
+    return _serving_stage(
+        "deepseek-v2-lite-w4", DSL_MODEL_DIR, budget,
+        max_model_len=3072, batch=8, input_len=2816,
+        qps_steps=os.environ.get("ZT_BENCH_DSL_QPS", "0.3,0.5,0.7"),
+        nreq=os.environ.get("ZT_BENCH_DSL_NREQ", "24"),
+        metric="serving_deepseek-v2-lite_w4_mla_moe_qps",
+        model_label="deepseek-v2-lite-gptq-int4-geometry (MLA+MoE)",
+        baseline=DEEPSEEK_BASELINE,
+        baseline_accels=8,
+        baseline_cite="context: ZhiLight DeepSeek-R1(671B) AWQ 8xA800 QPS 0.16"
+                      " / TTFT 1590.96 / TPOT 115.97 (benchmarks.md:27-38) — "
+                      "different model scale; row demonstrates the MLA+MoE+W4 "
+                      "serving stack, not a like-for-like ratio",
+        port_off=7,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -375,6 +461,32 @@ def stage_w4():
     if obj is None:
         return None, err
     return {"metric": "w4a16_kernel_ms_vs_bf16", "shapes": obj}, None
+
+
+# ---------------------------------------------------------------------------
+# stage: fp8 block-dequant kernel on-chip (DeepSeek-V3 shapes)
+# ---------------------------------------------------------------------------
+
+def stage_fp8():
+    """On-chip device time of the fused fp8 block-dequant matmul at
+    DeepSeek-V3 GEMM shapes (reference deep_gemm / fp8_util.cu class),
+    vs the bf16 dense stream. bytes/weight ~1.0 = fully fused."""
+    budget = int(os.environ.get("ZT_BENCH_FP8_BUDGET_S", "600"))
+    shapes = {}
+    for tag, (k, n) in {
+        "v3-dense-ffn": (7168, 18432),
+        "v3-expert": (7168, 2048),
+        "v3-down": (18432, 7168),
+    }.items():
+        obj, err = _run(
+            [sys.executable, os.path.join(BASE, "tools", "probe_fp8.py"),
+             "--k", str(k), "--n", str(n), "--m", "16"],
+            budget, f"fp8-{tag}",
+        )
+        if obj is None:
+            return None, err
+        shapes[tag] = obj
+    return {"metric": "fp8_block_matmul_ms_vs_bf16", "shapes": shapes}, None
 
 
 # ---------------------------------------------------------------------------
@@ -416,9 +528,26 @@ def main():
         out["errors"].append(err)
     emit()
 
+    row, err = stage_deepseek()
+    if row:
+        out["rows"].append(row)
+        out["deepseek_qps"] = row["value"]
+        out["deepseek_ttft_ms"] = row["ttft_ms"]
+        out["deepseek_tpot_ms"] = row["tpot_ms"]
+    elif err:
+        out["errors"].append(err)
+    emit()
+
     w4, err = stage_w4()
     if w4:
         out["rows"].append(w4)
+    elif err:
+        out["errors"].append(err)
+    emit()
+
+    f8, err = stage_fp8()
+    if f8:
+        out["rows"].append(f8)
     elif err:
         out["errors"].append(err)
     if not out["errors"]:

@@ -177,3 +177,89 @@ def test_packed_uneven_qblocks():
             np.asarray(want[:ql]),
             rtol=1e-4, atol=1e-4,
         )
+
+
+# ---------------------------------------------------------------------------
+# int8-pool variants (reference quant_attention.cuh prefill semantics)
+# ---------------------------------------------------------------------------
+
+def _quant(x):
+    amax = np.max(np.abs(x), axis=-1)
+    scale = np.maximum(amax / 127.0, 1e-8)
+    q = np.clip(np.round(x / scale[..., None]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+@pytest.mark.parametrize("hkv,hq,cache_len", [(2, 8, 0), (8, 8, 40), (4, 4, 7)])
+def test_int8_prefill_matches_dequant_reference(hkv, hq, cache_len):
+    from zhilight_tpu.ops.pallas.prefill_attention import (
+        paged_prefill_attention_hm_q,
+    )
+
+    T, q_len, D = 64, 50, 64
+    ctx_total = cache_len + q_len
+    q, k, v, pages, P = _setup(T, ctx_total, hq, hkv, D, seed=3)
+    scale = 1.0 / np.sqrt(D)
+    k_q, k_s = _quant(k)
+    v_q, v_s = _quant(v)
+    pool = np.concatenate([k_q, v_q], axis=-1).transpose(1, 0, 2)  # [Hkv,N,2D]
+
+    got = paged_prefill_attention_hm_q(
+        jnp.asarray(q), jnp.asarray(pool), jnp.asarray(k_s), jnp.asarray(v_s),
+        jnp.asarray(pages), jnp.int32(cache_len), jnp.int32(q_len), S, scale,
+        interpret=True,
+    )
+    kd = k_q.astype(np.float32) * k_s[..., None]
+    vd = v_q.astype(np.float32) * v_s[..., None]
+    slots = (pages[:, None] * S + np.arange(S)).reshape(-1)
+    want = prefill_attention(
+        jnp.asarray(q), jnp.asarray(kd)[slots], jnp.asarray(vd)[slots],
+        jnp.int32(cache_len), jnp.int32(q_len), scale, 0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[:q_len], np.float32), np.asarray(want[:q_len], np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_int8_packed_prefill_matches_single():
+    from zhilight_tpu.ops.pallas.prefill_attention import (
+        paged_prefill_attention_hm_packed_q,
+        paged_prefill_attention_hm_q,
+    )
+
+    rng = np.random.RandomState(5)
+    NS, TC, Hq, Hkv, D = 2, 32, 8, 4, 64
+    cache_lens = np.asarray([20, 0], np.int32)
+    q_lens = np.asarray([32, 17], np.int32)
+    P = 16
+    k = rng.randn(P * S, Hkv, D).astype(np.float32)
+    v = rng.randn(P * S, Hkv, D).astype(np.float32)
+    k_q, k_s = _quant(k)
+    v_q, v_s = _quant(v)
+    pool = np.concatenate([k_q, v_q], axis=-1).transpose(1, 0, 2)
+    scale = 1.0 / np.sqrt(D)
+
+    q = rng.randn(NS * TC, Hq, D).astype(np.float32)
+    maxp = 5
+    page_tables = np.full((NS, maxp), -1, np.int32)
+    page_tables[0, :4] = [3, 7, 1, 9]
+    page_tables[1, :2] = [0, 5]
+
+    got = paged_prefill_attention_hm_packed_q(
+        jnp.asarray(q), jnp.asarray(pool), jnp.asarray(k_s), jnp.asarray(v_s),
+        jnp.asarray(page_tables), jnp.asarray(cache_lens), jnp.asarray(q_lens),
+        S, scale, interpret=True,
+    )
+    for s in range(NS):
+        want = paged_prefill_attention_hm_q(
+            jnp.asarray(q[s * TC : (s + 1) * TC]), jnp.asarray(pool),
+            jnp.asarray(k_s), jnp.asarray(v_s),
+            jnp.asarray(page_tables[s]), jnp.int32(cache_lens[s]),
+            jnp.int32(q_lens[s]), S, scale, interpret=True,
+        )
+        ql = q_lens[s]
+        np.testing.assert_allclose(
+            np.asarray(got[s * TC : s * TC + ql], np.float32),
+            np.asarray(want[:ql], np.float32), rtol=2e-2, atol=2e-2,
+        )

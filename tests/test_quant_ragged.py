@@ -388,3 +388,54 @@ def test_moe_act_order_expert_parallel(monkeypatch):
     finally:
         enable_kernel_partitioning(False)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_moe_nonaligned_down_k_pads_and_matches(monkeypatch):
+    """DeepSeek-V2-Lite-geometry expert down_proj (K=1408, gs=128 =>
+    K % 2*gs != 0): the loader pads K with zero-scale groups
+    (hf_loader._pad_canon_int4) so the fused planar kernel still applies —
+    previously these stacks silently fell back to the bf16 [E, K, N]
+    dequant (29 GB of HLO temps at 27 layers: compile OOM, r5)."""
+    from zhilight_tpu.config import ModelConfig
+    from zhilight_tpu.config.model_config import MoEConfig
+    from zhilight_tpu.models import moe as M
+    from zhilight_tpu.utils.hf_loader import map_hf_params
+    from zhilight_tpu.utils.quant_convert import pack_gptq
+
+    D, F, E, gs = 256, 1408, 2, 128
+    cfg = ModelConfig(
+        model_type="mixtral", num_layers=1, dim_model=D, num_heads=4,
+        dim_head=64, num_kv_heads=4, dim_ff=F, vocab_size=64, dtype="float32",
+        moe=MoEConfig(num_experts=E, top_k=2, intermediate_size=F,
+                      scoring_func="softmax", topk_method="greedy"),
+    )
+    rng = np.random.RandomState(7)
+    tensors = [("model.layers.0.block_sparse_moe.gate.weight",
+                (rng.randn(E, D) * 0.1).astype(np.float32))]
+    for e in range(E):
+        for w_name, K, N in (("w1", D, F), ("w3", D, F), ("w2", F, D)):
+            G = K // gs
+            nib = rng.randint(0, 16, size=(K, N)).astype(np.int8)
+            scales = ((rng.rand(G, N) + 0.5) * 0.01).astype(np.float32)
+            zeros = rng.randint(1, 16, size=(G, N)).astype(np.float32)
+            qw, qz, sc = pack_gptq(nib, zeros, scales)
+            base = f"model.layers.0.block_sparse_moe.experts.{e}.{w_name}"
+            tensors += [(f"{base}.qweight", qw), (f"{base}.qzeros", qz),
+                        (f"{base}.scales", sc)]
+    tree = map_hf_params(tensors, cfg, strict=False, quant_method="gptq")
+    p = {"router": {"w": tree["layers"]["0"]["mlp"]["router"]["w"]},
+         "experts": tree["layers"]["0"]["mlp"]["experts"]}
+
+    down = p["experts"]["down_proj"]
+    assert down["w_p"].shape == (E, 768, D)       # K 1408 -> 1536 packed/2
+    assert down["scales"].shape == (E, 12, D)     # 11 -> 12 groups
+    assert np.asarray(down["scales"][:, 11]).max() == 0.0
+
+    x = jnp.asarray(rng.randn(5, D) * 0.5, jnp.bfloat16)
+    monkeypatch.setenv("ZT_PALLAS_INTERPRET", "1")
+    assert M._use_quant_ragged(p["experts"])
+    fused = np.asarray(M.moe_layer(p, cfg, x), np.float32)
+
+    monkeypatch.setenv("ZT_NO_PALLAS", "1")
+    ref = np.asarray(M.moe_layer(p, cfg, x), np.float32)
+    np.testing.assert_allclose(fused, ref, rtol=0.05, atol=0.05)

@@ -193,6 +193,28 @@ def run_http(args):
 
     async def main():
         rng = np.random.RandomState(0)
+        # warmup: sequential unmeasured requests so every shape bucket /
+        # batch-geometry program compiles before the first measured step
+        # (the reference's dockerized client likewise ramps through warm
+        # steps; an in-step compile of 20-60 s would dominate a 10-request
+        # TTFT mean)
+        if args.warmup:
+            async with aiohttp.ClientSession(
+                timeout=aiohttp.ClientTimeout(total=1800)
+            ) as session:
+                for i in range(args.warmup):
+                    ids = rng.randint(10, 30000, size=args.input_len).tolist()
+                    sink = []
+                    await one(session, args.url, ids, sink)
+                # one concurrent pair exercises the mixed decode+prefill
+                # program variants (packed prefill, in-flight window resize)
+                pair = []
+                await asyncio.gather(*[
+                    one(session, args.url,
+                        rng.randint(10, 30000, size=args.input_len).tolist(), pair)
+                    for _ in range(2)
+                ])
+            print(f"warmup done ({args.warmup}+2 requests)", file=sys.stderr, flush=True)
         for qps in args.qps:
             results = []
             async with aiohttp.ClientSession(
@@ -236,6 +258,9 @@ if __name__ == "__main__":
         "process (first step doubles as the compile-warm pass)",
     )
     ap.add_argument("--num-requests", type=int, default=16)
+    ap.add_argument("--warmup", type=int, default=2,
+                    help="HTTP mode: unmeasured sequential warm requests "
+                         "(+1 concurrent pair) before the first step")
     ap.add_argument("--input-len", type=int, default=512)
     ap.add_argument("--output-len", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)

@@ -77,6 +77,53 @@ PRESETS = {
         attn_bias=False,
         gptq=None,
     ),
+    # deepseek-ai/DeepSeek-V2-Lite geometry with GPTQ-Int4 expert stacks —
+    # the single-chip stand-in for the reference's flagship DeepSeek-R1 AWQ
+    # row (docs/benchmarks/benchmarks.md:27-45): exercises MLA (latent cache,
+    # absorbed decode) + fine-grained MoE (64 routed + 2 shared experts) +
+    # W4A16 quant end-to-end. kv_a/kv_b stay bf16 (absorbed decode composes
+    # dequantized kv_b; real AWQ DeepSeek checkpoints likewise keep the MLA
+    # low-rank projections unconverted), dense layer-0 mlp stays bf16
+    # (10944 % 128 != 0 breaks the g128 layout; 0.13 GB).
+    "deepseek-v2-lite-w4": dict(
+        model_type="deepseek_v2",
+        hidden_size=2048,
+        intermediate_size=10944,
+        moe_intermediate_size=1408,
+        num_hidden_layers=27,
+        num_attention_heads=16,
+        num_key_value_heads=16,
+        n_routed_experts=64,
+        n_shared_experts=2,
+        num_experts_per_tok=6,
+        first_k_dense_replace=1,
+        moe_layer_freq=1,
+        kv_lora_rank=512,
+        q_lora_rank=None,
+        qk_nope_head_dim=128,
+        qk_rope_head_dim=64,
+        v_head_dim=128,
+        scoring_func="softmax",
+        topk_method="greedy",
+        norm_topk_prob=False,
+        routed_scaling_factor=1.0,
+        vocab_size=102400,
+        max_position_embeddings=163840,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+        attn_bias=False,
+        gptq=dict(bits=4, group_size=128, desc_act=False, sym=True),
+        rope_scaling=dict(
+            rope_type="yarn",
+            factor=40.0,
+            beta_fast=32,
+            beta_slow=1,
+            mscale=0.707,
+            mscale_all_dim=0.707,
+            original_max_position_embeddings=4096,
+        ),
+    ),
     # meta-llama/Llama-3.1-8B-Instruct geometry (bf16 row, 2xAD102)
     "llama-3.1-8b": dict(
         model_type="llama",
@@ -172,6 +219,10 @@ def make(preset_name: str, out: str, layers_override=0):
 
     w = ShardWriter(out)
     w.add("model.embed_tokens.weight", bf16(rng, (V, H)))
+    if p["model_type"] == "deepseek_v2":
+        _make_deepseek_layers(p, w, rng)
+        _finish(p, w, out)
+        return
     for i in range(L):
         pre = f"model.layers.{i}."
         lin = {
@@ -195,23 +246,88 @@ def make(preset_name: str, out: str, layers_override=0):
         w.add(pre + "post_attention_layernorm.weight", bf16(rng, (H,), scale=0) + 1)
         if i == 0:
             print(f"layer geometry ok; {L} layers total")
+    _finish(p, w, out)
+
+
+def _make_deepseek_layers(p, w, rng):
+    """DeepSeek-V2 layers: MLA attention (GPTQ q/o, bf16 kv_a/kv_b) + MoE
+    (GPTQ routed/shared expert stacks, bf16 router) after
+    first_k_dense_replace dense layers."""
+    H = p["hidden_size"]
+    NH = p["num_attention_heads"]
+    L = p["num_hidden_layers"]
+    FF = p["intermediate_size"]
+    MFF = p["moe_intermediate_size"]
+    E = p["n_routed_experts"]
+    SH = p["n_shared_experts"] * MFF
+    lora = p["kv_lora_rank"]
+    rope_d = p["qk_rope_head_dim"]
+    nope_d = p["qk_nope_head_dim"]
+    v_d = p["v_head_dim"]
+    gptq = p["gptq"]
+    gs = gptq["group_size"]
+
+    def add_lin(name, K, N, quant=True):
+        if quant:
+            for k, v in gptq_tensors(rng, K, N, gs).items():
+                w.add(name + "." + k, v)
+        else:
+            w.add(name + ".weight", bf16(rng, (N, K)))  # HF [out, in]
+
+    for i in range(L):
+        pre = f"model.layers.{i}."
+        # MLA attention (q_lora_rank null => direct q_proj)
+        add_lin(pre + "self_attn.q_proj", H, NH * (nope_d + rope_d))
+        add_lin(pre + "self_attn.kv_a_proj_with_mqa", H, lora + rope_d, quant=False)
+        w.add(pre + "self_attn.kv_a_layernorm.weight", bf16(rng, (lora,), scale=0) + 1)
+        add_lin(pre + "self_attn.kv_b_proj", lora, NH * (nope_d + v_d), quant=False)
+        add_lin(pre + "self_attn.o_proj", NH * v_d, H)
+        # mlp: dense for the first first_k_dense_replace layers, MoE after
+        if i < p["first_k_dense_replace"]:
+            add_lin(pre + "mlp.gate_proj", H, FF, quant=False)
+            add_lin(pre + "mlp.up_proj", H, FF, quant=False)
+            add_lin(pre + "mlp.down_proj", FF, H, quant=False)
+        else:
+            w.add(pre + "mlp.gate.weight", bf16(rng, (E, H)))
+            for e in range(E):
+                epre = pre + f"mlp.experts.{e}."
+                add_lin(epre + "gate_proj", H, MFF)
+                add_lin(epre + "up_proj", H, MFF)
+                add_lin(epre + "down_proj", MFF, H)
+            add_lin(pre + "mlp.shared_experts.gate_proj", H, SH)
+            add_lin(pre + "mlp.shared_experts.up_proj", H, SH)
+            add_lin(pre + "mlp.shared_experts.down_proj", SH, H)
+        w.add(pre + "input_layernorm.weight", bf16(rng, (H,), scale=0) + 1)
+        w.add(pre + "post_attention_layernorm.weight", bf16(rng, (H,), scale=0) + 1)
+        if i == 0:
+            print(f"layer geometry ok; {L} layers total")
+
+
+def _finish(p, w, out):
+    H = p["hidden_size"]
+    V = p["vocab_size"]
+    L = p["num_hidden_layers"]
+    gptq = p["gptq"]
+    rng = np.random.default_rng(1)
     w.add("model.norm.weight", bf16(rng, (H,), scale=0) + 1)
     if not p["tie_word_embeddings"]:
         w.add("lm_head.weight", bf16(rng, (V, H)))
     w.flush()
 
+    arch = {
+        "qwen2": "Qwen2ForCausalLM",
+        "llama": "LlamaForCausalLM",
+        "minicpm": "MiniCPMForCausalLM",
+        "deepseek_v2": "DeepseekV2ForCausalLM",
+    }[p["model_type"]]
     cfg = {
-        "architectures": [
-            {"qwen2": "Qwen2ForCausalLM", "llama": "LlamaForCausalLM", "minicpm": "MiniCPMForCausalLM"}[
-                p["model_type"]
-            ]
-        ],
+        "architectures": [arch],
         "model_type": p["model_type"],
         "hidden_size": H,
-        "intermediate_size": FF,
+        "intermediate_size": p["intermediate_size"],
         "num_hidden_layers": L,
-        "num_attention_heads": NH,
-        "num_key_value_heads": KV,
+        "num_attention_heads": p["num_attention_heads"],
+        "num_key_value_heads": p["num_key_value_heads"],
         "vocab_size": V,
         "max_position_embeddings": p["max_position_embeddings"],
         "rope_theta": p["rope_theta"],
@@ -221,7 +337,14 @@ def make(preset_name: str, out: str, layers_override=0):
         "eos_token_id": 2,
         "bos_token_id": 1,
     }
-    for k in ("scale_emb", "dim_model_base", "scale_depth", "rope_scaling"):
+    for k in (
+        "scale_emb", "dim_model_base", "scale_depth", "rope_scaling",
+        "moe_intermediate_size", "n_routed_experts", "n_shared_experts",
+        "num_experts_per_tok", "first_k_dense_replace", "moe_layer_freq",
+        "kv_lora_rank", "q_lora_rank", "qk_nope_head_dim", "qk_rope_head_dim",
+        "v_head_dim", "scoring_func", "topk_method", "norm_topk_prob",
+        "routed_scaling_factor",
+    ):
         if k in p:
             cfg[k] = p[k]
     if gptq:

@@ -373,6 +373,69 @@ class ModelExecutor:
 
         return chunk_fused
 
+    def _chunk_chain_fn(self, bucket: int, num_chunks: int):
+        """C consecutive FULL chunks in one program (lax.scan over the fused
+        chunk body): one dispatch + one token upload for the whole chain
+        instead of C round trips. The ~10 ms/dispatch tunnel gap between
+        chunk programs was ~90 ms of the 306 ms MiniCPM TTFT (PROFILES r4).
+        Requires num_chunks even (scan unroll=2 — XLA only forwards the
+        donated KV pool through the loop carry at unroll 2, same as
+        _decode_multi_fn)."""
+        cfg, rope = self.cfg, self.rope
+        S = self.page_size
+        assert num_chunks % 2 == 0, num_chunks
+
+        @functools.partial(
+            jax.jit, donate_argnums=(2,), out_shardings=self._cache_fmt
+        )
+        def chunk_chain(params, tokens_c, cache, pages, start0):
+            i = jnp.arange(bucket, dtype=jnp.int32)
+
+            def body(cache, inp):
+                tokens, c = inp
+                start = start0 + c * bucket
+                pos = start + i
+                page = pages[jnp.clip(pos // S, 0, pages.shape[0] - 1)]
+                slots = jnp.where(page >= 0, page * S + pos % S, -1)
+                meta = PrefillMeta(
+                    positions=pos,
+                    slot_mapping=slots,
+                    page_table=pages,
+                    cache_len=start,
+                    q_len=jnp.int32(bucket),
+                )
+                _, cache = llama_mod.backbone(
+                    params, cfg, rope, tokens, meta.positions, cache, meta,
+                    "prefill",
+                )
+                return cache, ()
+
+            cache, _ = jax.lax.scan(
+                body, cache,
+                (tokens_c, jnp.arange(num_chunks, dtype=jnp.int32)),
+                unroll=2,
+            )
+            return cache
+
+        return chunk_chain
+
+    # chain lengths compiled/used, longest first (all even: scan unroll=2)
+    CHAIN_SIZES = (8, 4, 2)
+
+    def run_chunk_chain(self, tokens_c: np.ndarray, pages_dev, start0: int):
+        """Run ``tokens_c.shape[0]`` consecutive full chunks in one program."""
+        C, bucket = tokens_c.shape
+        fn = self._get(
+            ("chunk_chain", bucket, C), lambda: self._chunk_chain_fn(bucket, C)
+        )
+        self.cache = fn(
+            self.params,
+            jnp.asarray(tokens_c),
+            self.cache,
+            pages_dev,
+            jnp.int32(start0),
+        )
+
     @property
     def supports_fused_chunk(self) -> bool:
         """On-device meta construction needs the per-layer llama path and
@@ -900,6 +963,16 @@ class ModelExecutor:
             if self.supports_fused_chunk:
                 # the scheduler's hot mid-chunk path (device-built meta)
                 self.run_chunk_fused(np.zeros(bucket, np.int32), jnp.asarray(pt), 0, n)
+                if bucket == self.sched_cfg.chunk_size:
+                    # chunk chains (one dispatch per C full chunks): warm the
+                    # sizes a long prompt's prefill can hit
+                    max_chunks = self.max_pages_per_seq * S // max(bucket, 1)
+                    for C in self.CHAIN_SIZES:
+                        if C + 1 <= max_chunks:
+                            self.run_chunk_chain(
+                                np.zeros((C, bucket), np.int32),
+                                jnp.asarray(pt), 0,
+                            )
             sparams = SamplingParams(
                 temperature=jnp.zeros(B, jnp.float32),
                 top_p=jnp.ones(B, jnp.float32),

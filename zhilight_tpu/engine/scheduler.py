@@ -14,6 +14,7 @@ batch, both asynchronously dispatched; pages replace ragged-buffer resizes.
 
 from __future__ import annotations
 
+import os
 import logging
 import queue
 import threading
@@ -964,10 +965,33 @@ class Scheduler:
             and task.position_ids is None
             and self.ex.supports_fused_chunk
         ):
-            # hot path: meta built on device from (pages, [start, chunk]) —
-            # one small upload instead of five per chunk
             page_table = np.full(self.ex.max_pages_per_seq, -1, np.int32)
             page_table[: len(task.pages)] = task.pages
+            # chunk CHAIN: when no decode slot is waiting on this iteration,
+            # dispatch C full chunks as one program (one upload + one
+            # dispatch; the per-chunk tunnel round trips were ~90 ms of the
+            # 3.7k-prompt TTFT). Decode-active iterations keep the one-chunk
+            # cadence so TPOT never waits behind a multi-chunk program.
+            CS = self.cfg.chunk_size
+            n_total = -(-remaining // CS)
+            chainable = n_total - 1  # the final chunk samples via run_prefill
+            if chunk == CS and chainable >= 2 and os.environ.get(
+                "ZT_NO_CHAIN"
+            ) != "1" and not any(
+                t is not None and t.status == TaskStatus.DECODE for t in self.slots
+            ):
+                C = next((c for c in self.ex.CHAIN_SIZES if c <= chainable), None)
+                if C is not None and self._alloc_pages_to(task, start + C * CS):
+                    page_table[: len(task.pages)] = task.pages
+                    toks = np.asarray(
+                        ctx_tokens[start : start + C * CS], np.int32
+                    ).reshape(C, CS)
+                    self.ex.run_chunk_chain(toks, jnp.asarray(page_table), start)
+                    task.cache_len += C * CS
+                    self.step_index += C
+                    return True
+            # hot path: meta built on device from (pages, [start, chunk]) —
+            # one small upload instead of five per chunk
             self.ex.run_chunk_fused(tokens, jnp.asarray(page_table), start, chunk)
             task.cache_len += chunk
             self.step_index += 1

@@ -320,6 +320,31 @@ def attention_layer(
                 scale,
                 cfg.sliding_window,
             )
+        elif _use_pallas_decode(cfg, cache) and cache.packed and cache.quantized:
+            # int8 pool: flash prefill with per-page scale folds (reference
+            # quant_attention.cuh) — was the gather+dequant TTFT killer
+            from ..parallel import kernel_partitioning_enabled
+
+            if kernel_partitioning_enabled():
+                from ..ops.pallas.partitioned import (
+                    paged_prefill_attention_hm_packed_q_sharded as _pfpq,
+                )
+            else:
+                from ..ops.pallas.prefill_attention import (
+                    paged_prefill_attention_hm_packed_q as _pfpq,
+                )
+            out = _pfpq(
+                q,
+                cache.k[layer_idx],
+                cache.k_scale[layer_idx],
+                cache.v_scale[layer_idx],
+                meta.page_tables,
+                meta.cache_lens,
+                meta.q_lens,
+                cache.page_size,
+                scale,
+                cfg.sliding_window,
+            )
         else:
             # XLA fallback: per-segment gather + dense causal attention
             NS = meta.num_segments
@@ -358,6 +383,29 @@ def attention_layer(
             out = _pf(
                 q,
                 cache.k[layer_idx],
+                meta.page_table,
+                meta.cache_len,
+                meta.q_len,
+                cache.page_size,
+                scale,
+                cfg.sliding_window,
+            )
+        elif _use_pallas_decode(cfg, cache) and cache.packed and cache.quantized:
+            from ..parallel import kernel_partitioning_enabled
+
+            if kernel_partitioning_enabled():
+                from ..ops.pallas.partitioned import (
+                    paged_prefill_attention_hm_q_sharded as _pfq,
+                )
+            else:
+                from ..ops.pallas.prefill_attention import (
+                    paged_prefill_attention_hm_q as _pfq,
+                )
+            out = _pfq(
+                q,
+                cache.k[layer_idx],
+                cache.k_scale[layer_idx],
+                cache.v_scale[layer_idx],
                 meta.page_table,
                 meta.cache_len,
                 meta.q_len,

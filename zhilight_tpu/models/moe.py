@@ -186,6 +186,10 @@ def quant_experts_contribution(
 
     def mm(i, xin):
         w_p, scales, zeros = expert_arrays[stride * i : stride * i + 3]
+        Kw = 2 * w_p.shape[1]
+        if xin.shape[1] < Kw:
+            # loader-padded K (zero-scale groups): zero activation columns
+            xin = jnp.pad(xin, ((0, 0), (0, Kw - xin.shape[1])))
         if has_perm:
             # act_order: gather each row's activations with its expert's
             # g_idx permutation (reference exllama q_gemm, src/nn/quant/gptq/)
@@ -221,14 +225,21 @@ def _grouped_experts(
     act: str,
 ) -> jax.Array:
     dt = x_sorted.dtype
+
+    def w_of(name, width):
+        # loader-padded quant stacks carry zero-value pad rows past the
+        # activation width (hf_loader._pad_canon_int4) — slice them off
+        w = _expert_weight(p_experts[name], dt)
+        return w[:, :width] if w.shape[1] > width else w
+
     if "gate_up_proj" in p_experts:
-        gu = jax.lax.ragged_dot(x_sorted, _expert_weight(p_experts["gate_up_proj"], dt), group_sizes)
+        gu = jax.lax.ragged_dot(x_sorted, w_of("gate_up_proj", x_sorted.shape[-1]), group_sizes)
         g, u = jnp.split(gu, 2, axis=-1)
     else:
-        g = jax.lax.ragged_dot(x_sorted, _expert_weight(p_experts["gate_proj"], dt), group_sizes)
-        u = jax.lax.ragged_dot(x_sorted, _expert_weight(p_experts["up_proj"], dt), group_sizes)
+        g = jax.lax.ragged_dot(x_sorted, w_of("gate_proj", x_sorted.shape[-1]), group_sizes)
+        u = jax.lax.ragged_dot(x_sorted, w_of("up_proj", x_sorted.shape[-1]), group_sizes)
     h = gated_act(g, u, act)
-    return jax.lax.ragged_dot(h, _expert_weight(p_experts["down_proj"], dt), group_sizes)
+    return jax.lax.ragged_dot(h, w_of("down_proj", h.shape[-1]), group_sizes)
 
 
 def moe_layer(p: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:

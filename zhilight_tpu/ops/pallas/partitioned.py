@@ -28,6 +28,8 @@ from .kv_write import write_rows_hm as _write_hm
 from .prefill_attention import (
     paged_prefill_attention_hm as _prefill_hm,
     paged_prefill_attention_hm_packed as _prefill_hm_packed,
+    paged_prefill_attention_hm_packed_q as _prefill_hm_packed_q,
+    paged_prefill_attention_hm_q as _prefill_hm_q,
 )
 
 __all__ = [
@@ -37,6 +39,8 @@ __all__ = [
     "paged_decode_attention_hm_q_partial_sharded",
     "paged_prefill_attention_hm_sharded",
     "paged_prefill_attention_hm_packed_sharded",
+    "paged_prefill_attention_hm_q_sharded",
+    "paged_prefill_attention_hm_packed_q_sharded",
     "write_rows_hm_sharded",
     "flush_side_rows_hm_sharded",
     "paged_mla_decode_sharded",
@@ -217,6 +221,84 @@ def paged_prefill_attention_hm_packed_sharded(
             g=G,
         )
     return f(q, kv_pool, page_tables, cache_lens, q_lens)
+
+
+def paged_prefill_attention_hm_q_sharded(
+    q, kv_pool, k_scales, v_scales, page_table, cache_len, q_len, page_size,
+    scale, sliding_window=0, interpret=False,
+):
+    """paged_prefill_attention_hm_q (int8 pool) with an SPMD rule: the pool's
+    kv-head dim and the slot-major [N, Hkv] scales' head dim shard together."""
+    import jax.numpy as jnp
+
+    meta = jnp.stack([jnp.int32(cache_len), jnp.int32(q_len)])
+
+    def _impl(q, pool, ks, vs, pt, meta):
+        return _prefill_hm_q(
+            q, pool, ks, vs, pt, meta[0], meta[1], page_size, scale,
+            sliding_window=sliding_window, interpret=interpret,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, ks, vs, pt, meta):
+            return _impl(q, pool, ks, vs, pt, meta)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    G = q.shape[1] // kv_pool.shape[0]
+    if G == 1:
+        f.def_partition(
+            partition,
+            sharding_rule="t h d, h n x, n h, n h, m, s -> t h d",
+            need_replication_factors=("t", "d", "n", "x", "m", "s"),
+        )
+    else:
+        f.def_partition(
+            partition,
+            sharding_rule="t (h g) d, h n x, n h, n h, m, s -> t (h g) d",
+            need_replication_factors=("t", "d", "n", "x", "m", "s"),
+            g=G,
+        )
+    return f(q, kv_pool, k_scales, v_scales, page_table, meta)
+
+
+def paged_prefill_attention_hm_packed_q_sharded(
+    q, kv_pool, k_scales, v_scales, page_tables, cache_lens, q_lens,
+    page_size, scale, sliding_window=0, interpret=False,
+):
+    """packed int8 flash prefill with the head-sharded SPMD rule."""
+
+    def _impl(q, pool, ks, vs, pts, cls, qls):
+        return _prefill_hm_packed_q(
+            q, pool, ks, vs, pts, cls, qls, page_size, scale,
+            sliding_window=sliding_window, interpret=interpret,
+        )
+
+    f = custom_partitioning(_impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        def lower_fn(q, pool, ks, vs, pts, cls, qls):
+            return _impl(q, pool, ks, vs, pts, cls, qls)
+
+        return mesh, lower_fn, result_shape.sharding, _shardings(tuple(arg_shapes))
+
+    G = q.shape[1] // kv_pool.shape[0]
+    if G == 1:
+        f.def_partition(
+            partition,
+            sharding_rule="t h d, h n x, n h, n h, s p, s, s -> t h d",
+            need_replication_factors=("t", "d", "n", "x", "s", "p"),
+        )
+    else:
+        f.def_partition(
+            partition,
+            sharding_rule="t (h g) d, h n x, n h, n h, s p, s, s -> t (h g) d",
+            need_replication_factors=("t", "d", "n", "x", "s", "p"),
+            g=G,
+        )
+    return f(q, kv_pool, k_scales, v_scales, page_tables, cache_lens, q_lens)
 
 
 def write_rows_hm_sharded(pool, rows, slot_mapping, page_size, interpret=False):

@@ -46,7 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ._dedup import dedup_jit
 
-__all__ = ["paged_prefill_attention_hm", "paged_prefill_attention_hm_packed"]
+__all__ = [
+    "paged_prefill_attention_hm",
+    "paged_prefill_attention_hm_packed",
+    "paged_prefill_attention_hm_q",
+    "paged_prefill_attention_hm_packed_q",
+]
 
 NEG_INF = -2.0e38
 
@@ -353,3 +358,293 @@ def paged_prefill_attention_hm_packed(
     out = out.reshape(Hkv, NS, tc_pad * G, D2)[:, :, : TC * G, D:]
     out = out.reshape(Hkv, T, G, D)
     return jnp.moveaxis(out, 0, 1).reshape(T, Hq, D)
+
+
+# ---------------------------------------------------------------------------
+# INT8-quantized variant (reference quantized-cache prefill,
+# src/nn/attention/quant_attention.cuh + attention_kernel.cu:539-1100): same
+# head-blocked flash structure over the int8 head-major packed pool, with the
+# slot-major per-(token, head) absmax scales [N, Hkv] fetched per page as one
+# contiguous [S, Hkv] f32 row-block (all heads; ~S*Hkv*4 B — <1% of the page
+# payload). Scales never touch the K/V elements: the K scale folds into the
+# SCORES and the V scale into the probabilities before the second dot (the
+# decode _q kernel's trick) — the int8 buffer feeds the MXU directly at half
+# the bf16 HBM bytes. This was the r4 "int8 KV loses" gap: prefill fell back
+# to gather+dequant XLA attention and burned TTFT (PROFILES r4:150-157).
+# ---------------------------------------------------------------------------
+
+def _kernel_prefill_hm_q(
+    # scalar prefetch
+    page_table_ref,  # [NS, maxp]
+    meta_ref,        # [NS, 2]
+    # inputs
+    q_ref,    # [HB, TQ*G, 2D] VMEM (V-half lanes zero)
+    kv_hbm,   # [Hkv, N_slots, 2D] ANY int8
+    ks_hbm,   # [N_slots, Hkv] ANY f32
+    vs_hbm,   # [N_slots, Hkv] ANY f32
+    # output
+    o_ref,    # [HB, TQ*G, 2D]
+    # scratch
+    m_ref, l_ref, hi_ref, acc_ref,
+    kv_buf,   # [2, HB, PPB*S, 2D] int8
+    ks_buf,   # [2, PPB*S, HB] f32 (this head block's columns only)
+    vs_buf,   # [2, PPB*S, HB] f32
+    sems,     # DMA semaphores [2, PPB, 3]
+    *,
+    page_size: int,
+    pages_per_block: int,
+    num_blocks: int,
+    tq: int,
+    group: int,
+    scale: float,
+    sliding_window: int,
+    q_blocks_per_seg: int,
+    head_block: int,
+):
+    hb = pl.program_id(0)
+    qg = pl.program_id(1)
+    i = pl.program_id(2)
+    S, PPB, HB = page_size, pages_per_block, head_block
+    seg = qg // q_blocks_per_seg
+    qi = qg % q_blocks_per_seg
+
+    cache_len = meta_ref[seg, 0]
+    q_len = meta_ref[seg, 1]
+    total = cache_len + q_len
+    num_valid_pages = pl.cdiv(total, S)
+
+    q_hi = cache_len + jnp.minimum(q_len, (qi + 1) * tq)
+    q_active = (qi * tq) < q_len
+    needed_blocks = jnp.where(q_active, pl.cdiv(q_hi, S * PPB), 0)
+
+    def _block_active(blk):
+        return blk < needed_blocks
+
+    def _page_at(page_pos):
+        safe_pos = jnp.minimum(page_pos, jnp.maximum(num_valid_pages - 1, 0))
+        return page_table_ref[seg, safe_pos]
+
+    def _copies(block_idx, slot):
+        out = []
+        for j in range(PPB):
+            page = _page_at(block_idx * PPB + j)
+            out.append(pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(hb * HB, HB), pl.ds(page * S, S)],
+                kv_buf.at[slot, :, pl.ds(j * S, S)],
+                sems.at[slot, j, 0],
+            ))
+            out.append(pltpu.make_async_copy(
+                ks_hbm.at[pl.ds(page * S, S), pl.ds(hb * HB, HB)],
+                ks_buf.at[slot, pl.ds(j * S, S)],
+                sems.at[slot, j, 1],
+            ))
+            out.append(pltpu.make_async_copy(
+                vs_hbm.at[pl.ds(page * S, S), pl.ds(hb * HB, HB)],
+                vs_buf.at[slot, pl.ds(j * S, S)],
+                sems.at[slot, j, 2],
+            ))
+        return out
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        row_tok = (
+            qi * tq
+            + jax.lax.broadcasted_iota(jnp.int32, m_ref.shape, 1) // group
+        )
+        qpos = cache_len + row_tok
+        hi = jnp.minimum(qpos + 1, total)
+        hi_ref[...] = jnp.where(row_tok < q_len, hi, 0)
+
+        @pl.when(_block_active(0))
+        def _():
+            for cp in _copies(0, 0):
+                cp.start()
+
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(jnp.logical_and(i + 1 < num_blocks, _block_active(i + 1)))
+    def _prefetch():
+        for cp in _copies(i + 1, next_slot):
+            cp.start()
+
+    @pl.when(_block_active(i))
+    def _compute():
+        for cp in _copies(i, slot):
+            cp.wait()
+        q = q_ref[...]           # [HB, TQ*G, 2D] bf16, V lanes zero
+        kv = kv_buf[slot]        # [HB, PPB*S, 2D] int8 -> MXU direct
+        ks_h = jnp.swapaxes(ks_buf[slot], 0, 1)[:, None, :]  # [HB, 1, PPB*S]
+        vs_h = jnp.swapaxes(vs_buf[slot], 0, 1)[:, None, :]
+        s = jax.lax.dot_general(
+            q, kv, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s * ks_h             # K dequant folded into the scores
+
+        tok = i * (PPB * S) + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        mask = tok < hi_ref[...]
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, tok >= hi_ref[...] - sliding_window)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        upd = jax.lax.dot_general(
+            (p * vs_h).astype(q.dtype), kv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                        # V dequant via p
+        acc_ref[...] = acc_ref[...] * alpha + upd
+        m_ref[...] = m_new
+
+    @pl.when(i == num_blocks - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[...], 1e-20)
+        o_ref[...] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@dedup_jit(7)
+def paged_prefill_attention_hm_packed_q(
+    q: jax.Array,            # [T, Hq, D]; T = NS * TC packed segment tokens
+    kv_pool: jax.Array,      # [Hkv, N_slots, 2D] head-major K|V packed int8
+    k_scales: jax.Array,     # [N_slots, Hkv] f32 per-(token, head) absmax
+    v_scales: jax.Array,
+    page_tables: jax.Array,  # [NS, maxp]
+    cache_lens: jax.Array,   # [NS]
+    q_lens: jax.Array,       # [NS]
+    page_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-sequence packed flash prefill over the INT8 pool; same geometry
+    policy as the bf16 kernel plus per-page scale row-blocks."""
+    T, Hq, D = q.shape
+    Hkv, N, D2 = kv_pool.shape
+    assert D2 == 2 * D, (D2, D)
+    S = page_size
+    G = Hq // Hkv
+    NS, maxp = page_tables.shape
+    assert T % NS == 0, (T, NS)
+    TC = T // NS
+
+    tq = max(8, min(TC, max(8, (8192 // G) // 8 * 8)) // 8 * 8)
+    ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
+
+    def _vmem_q(rows, ppb):
+        # int8 kv halves the kv scratch; scale buffers add 2*2*ppb*S*Hkv*4/HB
+        # per head (they are shared across the head block — charge per call)
+        base = _vmem_per_head(rows, ppb, S, D2) - 2 * ppb * S * D2 * 2 + 2 * ppb * S * D2
+        return base
+
+    while ppb > 4 and _vmem_q(tq * G, ppb) > _VMEM_LIMIT:
+        ppb -= 1
+    while tq > 8 and _vmem_q(tq * G, ppb) > _VMEM_LIMIT:
+        tq = max(8, tq // 2 // 8 * 8)
+    num_blocks = (maxp + ppb - 1) // ppb
+    ppb = (maxp + num_blocks - 1) // num_blocks
+    tc_pad = (TC + tq - 1) // tq * tq
+    q_blocks_per_seg = tc_pad // tq
+    num_q_blocks = NS * q_blocks_per_seg
+
+    per_head = _vmem_q(tq * G, ppb)
+    HB = 1
+    for cand in range(1, Hkv + 1):
+        scale_bufs = 2 * 2 * ppb * S * cand * 4
+        if Hkv % cand == 0 and cand * per_head + scale_bufs <= _VMEM_LIMIT:
+            HB = cand
+    num_head_blocks = Hkv // HB
+
+    q_hm = jnp.moveaxis(q.reshape(T, Hkv, G, D), 1, 0).reshape(Hkv, NS, TC * G, D)
+    q_hm = jnp.pad(q_hm, ((0, 0), (0, 0), (0, (tc_pad - TC) * G), (0, D2 - D)))
+    q_hm = q_hm.reshape(Hkv, NS * tc_pad * G, D2)
+
+    safe_tables = jnp.maximum(page_tables, 0)
+    meta = jnp.stack(
+        [jnp.asarray(cache_lens, jnp.int32), jnp.asarray(q_lens, jnp.int32)], axis=1
+    )
+
+    def q_index(hb, qg, i, *_):
+        return (hb, qg, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_head_blocks, num_q_blocks, num_blocks),
+        in_specs=[
+            pl.BlockSpec((HB, tq * G, D2), q_index),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((HB, tq * G, D2), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((HB, tq * G, 1), jnp.float32),
+            pltpu.VMEM((HB, tq * G, 1), jnp.float32),
+            pltpu.VMEM((HB, tq * G, 1), jnp.int32),
+            pltpu.VMEM((HB, tq * G, D2), jnp.float32),
+            pltpu.VMEM((2, HB, ppb * S, D2), kv_pool.dtype),
+            pltpu.VMEM((2, ppb * S, HB), jnp.float32),
+            pltpu.VMEM((2, ppb * S, HB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppb, 3)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_prefill_hm_q,
+        page_size=S,
+        pages_per_block=ppb,
+        num_blocks=num_blocks,
+        tq=tq,
+        group=G,
+        scale=scale,
+        sliding_window=sliding_window,
+        q_blocks_per_seg=q_blocks_per_seg,
+        head_block=HB,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, NS * tc_pad * G, D2), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(safe_tables, meta, q_hm, kv_pool, k_scales, v_scales)
+    out = out.reshape(Hkv, NS, tc_pad * G, D2)[:, :, : TC * G, D:]
+    out = out.reshape(Hkv, T, G, D)
+    return jnp.moveaxis(out, 0, 1).reshape(T, Hq, D)
+
+
+@dedup_jit(7)
+def paged_prefill_attention_hm_q(
+    q: jax.Array,
+    kv_pool: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    page_table: jax.Array,  # [maxp]
+    cache_len: jax.Array,
+    q_len: jax.Array,
+    page_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-sequence int8 chunked-prefill flash attention."""
+    return paged_prefill_attention_hm_packed_q(
+        q,
+        kv_pool,
+        k_scales,
+        v_scales,
+        page_table[None],
+        jnp.asarray(cache_len, jnp.int32).reshape(1),
+        jnp.asarray(q_len, jnp.int32).reshape(1),
+        page_size,
+        scale,
+        sliding_window,
+        interpret,
+    )

@@ -82,6 +82,11 @@ def int4_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     XLA reference path dequantizes the weight to the activation dtype and
     relies on fusion; the Pallas fused kernel dequantizes per-tile in VMEM.
     """
+    Kw = p["w_p"].shape[-2] * (2 if p["w_p"].dtype == jnp.uint8 else 1)
+    if x.shape[-1] < Kw:
+        # loader padded K to a 2*gs multiple (zero-scale groups, see
+        # hf_loader._pad_canon_int4): zero-pad the activation columns
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Kw - x.shape[-1])])
     if "perm" in p:
         # GPTQ act_order (desc_act=true): the loader sorted the weight rows so
         # each quant group is contiguous (utils/quant_convert.unpack_gptq);

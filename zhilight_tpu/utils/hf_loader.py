@@ -447,10 +447,11 @@ def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
                 k: np.stack([p[k] for p in parts], axis=0)
                 for k in parts[0]
             }
+            canon = _pad_canon_int4(canon)
         elif (
             quant_method == "gptq"
             and "qweight" in entry
-            and entry["qweight"].shape[0] * 8 % 256 == 0
+            and _planar_fast_path_ok(entry)
             and _gptq_trivial_gidx(entry)
         ):
             # fast path: checkpoint int32 -> planar-packed uint8 directly on
@@ -470,6 +471,8 @@ def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
             continue
         else:
             canon = convert_quant_tensors(entry, quant_method)
+            if canon is not None:
+                canon = _pad_canon_int4(canon)
         if canon is None:
             continue
         for k, v in canon.items():
@@ -492,6 +495,49 @@ def _convert_quant_stash(tree, quant_stash, quant_method, dtype):
 
                 arr = pack_int4(arr)
             _set_path(tree, f"{path}.{k}", arr)
+
+
+def _planar_fast_path_ok(entry) -> bool:
+    """Direct int32->planar pack needs K % 256 == 0 AND group boundaries
+    inside one nibble plane (K % (2*gs) == 0); otherwise go canonical so
+    _pad_canon_int4 can pad."""
+    K = entry["qweight"].shape[0] * 8
+    gs = K // entry["scales"].shape[0]
+    return K % 256 == 0 and K % (2 * gs) == 0
+
+
+def _pad_canon_int4(canon):
+    """Pad the canonical int4 K dim to a multiple of 2*group_size.
+
+    The planar packed layout (low nibbles = K rows [0, K/2), high =
+    [K/2, K)) requires every quant group to live inside one nibble plane
+    (kernel constraint Kh % gs == 0 — ops/pallas/quant_ragged /
+    quant_matmul). Geometries like DeepSeek-V2-Lite's expert down_proj
+    (K=1408, gs=128) violate it; padding K at the END with zero-SCALE
+    groups keeps the dequant exact (pad rows contribute scale*anything=0)
+    while activations pad with zero columns at call time (ops/quant
+    int4_linear, models/moe.quant_experts_contribution)."""
+    w = canon["w_p"]  # [K, N] or [E, K, N] int8 nibbles
+    K = w.shape[-2]
+    G = canon["scales"].shape[-2]
+    gs = K // G
+    K2 = -(-K // (2 * gs)) * (2 * gs)
+    if K2 == K:
+        return canon
+    pad_w = [(0, 0)] * w.ndim
+    pad_w[-2] = (0, K2 - K)
+    canon["w_p"] = np.pad(w, pad_w)
+    pad_s = [(0, 0)] * canon["scales"].ndim
+    pad_s[-2] = (0, K2 // gs - G)
+    canon["scales"] = np.pad(canon["scales"], pad_s)  # zero scales
+    canon["zeros"] = np.pad(canon["zeros"], pad_s)
+    if "perm" in canon:
+        p = canon["perm"]  # [K] or [E, K]
+        extra = np.broadcast_to(
+            np.arange(K, K2, dtype=p.dtype), p.shape[:-1] + (K2 - K,)
+        )
+        canon["perm"] = np.concatenate([p, extra], axis=-1)
+    return canon
 
 
 def _packable_int4(shape) -> bool:

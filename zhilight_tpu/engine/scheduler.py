@@ -1315,7 +1315,12 @@ class Scheduler:
         active = ctx > 0
         return bool(np.all(~active | (lim >= ctx + 2 * K - 1)))
 
-    def _build_window(self, K: int):
+    def _build_window(self, K: int, skip=None):
+        """``skip(task)`` excludes a decode slot from this window: its
+        context_lens/limits stay 0, so the program's validity mask freezes
+        it (no writes, outputs discarded) — the beam-segregation windows
+        use this to run plain slots at full K while beam slots idle, and
+        vice versa."""
         B = self.max_batch
         S = self.ex.page_size
         tokens = np.zeros(B, np.int32)
@@ -1327,6 +1332,8 @@ class Scheduler:
 
         for b, task in enumerate(self.slots):
             if task is None or task.status != TaskStatus.DECODE:
+                continue
+            if skip is not None and skip(task):
                 continue
             c0 = task.total_len  # context at the first window step
             limit = self._task_limit(task)
@@ -1381,8 +1388,49 @@ class Scheduler:
         w["handle"] = handle
         return w
 
+    @staticmethod
+    def _slow_slot(t) -> bool:
+        """Slots that force single-step windows (host-side beam reorders /
+        evolving ngram penalties)."""
+        return (
+            getattr(t, "_beam_group", None) is not None
+            or t.arg.ngram_penalty > 1.0
+        )
+
+    def _decode_segregated(self) -> None:
+        """ZT_BEAM_SEGREGATE=1 evaluation mode: instead of dropping the whole
+        batch to K=1 when a beam (or ngram) task is active, run (a) a full-K
+        window over the PLAIN slots with the slow slots frozen, then (b) a
+        K=1 step over the slow slots. Plain tasks keep window-amortized
+        dispatch; slow tasks pay one extra weight stream per iteration.
+        (Reference runs beams inside the same per-step host loop and pays no
+        window cost because it HAS no windows — batch_generator.cpp:1540.)"""
+        wA = self._build_window(self.ex.decode_window, skip=self._slow_slot)
+        if wA is not None:
+            self._decode_clean = False
+            self._dispatch_window(wA, reuse_carry=False)
+            self._process_window(wA, self.ex.fetch(wA["handle"]))
+        wB = self._build_window(1, skip=lambda t: not self._slow_slot(t))
+        if wB is not None:
+            self._decode_clean = False
+            self._dispatch_window(wB, reuse_carry=False)
+            self._process_window(wB, self.ex.fetch(wB["handle"]))
+        self._flush_deferred()
+
     def _decode_step(self):
-        K = 1 if self._force_k1() else self.ex.decode_window
+        if self._force_k1():
+            if os.environ.get("ZT_BEAM_SEGREGATE") == "1" and self._pending is None:
+                plain = any(
+                    t is not None and t.status == TaskStatus.DECODE
+                    and not self._slow_slot(t)
+                    for t in self.slots
+                )
+                if plain:
+                    self._decode_segregated()
+                    return
+            K = 1
+        else:
+            K = self.ex.decode_window
 
         if self._pending is not None:
             # drain the in-flight window; in steady state, dispatch its

@@ -44,7 +44,11 @@ def _deep_fpb(maxp: int, page_bytes: int, fetch_pages) -> int:
     if fetch_pages is not None:
         return min(fetch_pages, maxp)
     budget = int(os.environ.get("ZT_DECODE_FETCH_BYTES", 5 << 20))
-    return max(1, min(maxp, budget // max(page_bytes, 1)))
+    # operand-count cap: every fetched page is its own BlockSpec operand and
+    # Mosaic lowering degrades superlinearly past ~copies*2 per grid step
+    # (a 182-operand MLA variant did not finish compiling in 20 min)
+    cap = int(os.environ.get("ZT_DECODE_FETCH_MAX_PAGES", 48))
+    return max(1, min(maxp, cap, budget // max(page_bytes, 1)))
 
 
 def _kernel_hm(
@@ -60,6 +64,8 @@ def _kernel_hm(
     sliding_window: int,
     packed_dim: int,   # D (V half starts here)
     emit_partial: bool = False,
+    v_dim: int = 0,    # MLA latent mode: V = kv[..., :v_dim], scores over
+                       # the full stored width (Hkv=1, G=num_heads)
 ):
     q_ref = refs[0]                       # [1, Hkv, G, 2D] (q zero-padded)
     kv_refs = refs[1 : 1 + fetch_pages]   # each [Hkv, S, 2D]
@@ -135,7 +141,10 @@ def _kernel_hm(
             l = jnp.maximum(l_ref[...], 1e-20)
             # emit only the V lanes — slicing here (VMEM, free) instead of in
             # XLA saved ~40 async device slices per decode step
-            o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
+            if v_dim:
+                o_ref[0] = ((acc_ref[...] / l)[..., :v_dim]).astype(o_ref.dtype)
+            else:
+                o_ref[0] = ((acc_ref[...] / l)[..., packed_dim:]).astype(o_ref.dtype)
 
 
 @dedup_jit(4)
@@ -150,11 +159,19 @@ def paged_decode_attention_hm(
     fetch_pages: int | None = None,
     interpret: bool = False,
     emit_partial: bool = False,
+    v_dim: int = 0,
 ) -> jax.Array:
     """Normalized attention output [B, Hq, D], or with ``emit_partial`` the
     flash partials [B, Hkv, G, 2D] fp32 (lane 0 = running max, lane 1 =
     normalizer, lanes [D:] = unnormalized V accumulator) for exact XLA-side
-    merging with rows not yet in the pool (decode-window side buffer)."""
+    merging with rows not yet in the pool (decode-window side buffer).
+
+    ``v_dim`` > 0 selects MLA latent mode (reference absorbed-weight
+    compressed-cache decode, multi_head_latent_attention.cpp): the pool is
+    ``[1, N, stored]`` latents, q is ``[B, H, stored]`` (caller-padded),
+    scores contract the full stored width and V is the ``[:v_dim]`` prefix;
+    returns [B, H, v_dim]."""
+    assert not (emit_partial and v_dim), "MLA partials use the BlockSpec path"
     B, Hq, D = q.shape
     Hkv, N, D2 = kv_pool.shape
     S = page_size
@@ -185,7 +202,7 @@ def paged_decode_attention_hm(
         return kv_index
 
     kv_specs = [pl.BlockSpec((Hkv, S, D2), kv_index_at(j)) for j in range(FPB)]
-    out_dim = D2 if emit_partial else D
+    out_dim = D2 if emit_partial else (v_dim if v_dim else D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, num_blocks),
@@ -206,6 +223,7 @@ def paged_decode_attention_hm(
         sliding_window=sliding_window,
         packed_dim=D,
         emit_partial=emit_partial,
+        v_dim=v_dim,
     )
     out = pl.pallas_call(
         kernel,
@@ -220,7 +238,7 @@ def paged_decode_attention_hm(
     )(safe_tables, context_lens, q_g, *([kv_pool] * FPB))
     if emit_partial:
         return out
-    return out.reshape(B, Hq, D)
+    return out.reshape(B, Hq, out_dim)
 
 
 # ---------------------------------------------------------------------------

@@ -811,6 +811,24 @@ def paged_mla_decode(
     N, stored = latent_pool.shape
     if k_dim < stored:
         q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, stored - k_dim)))
+    if not emit_partial:
+        # head-major path: [1, N, stored] is a FREE relayout of the 2-D pool
+        # (leading unit dim), unlike [N, 1, stored] whose sublane-padded
+        # tiling made XLA materialize a full pool copy per layer per step
+        # (53.7 ms of a 197 ms DeepSeek-V2-Lite decode window, r5 profile) —
+        # and the deep-fetch grid + M=H score dots come along for the ride
+        from .attn_headmajor import paged_decode_attention_hm
+
+        return paged_decode_attention_hm(
+            q_eff,
+            latent_pool[None],
+            jnp.maximum(page_tables, 0),
+            context_lens,
+            page_size,
+            scale,
+            interpret=interpret,
+            v_dim=v_dim,
+        )
     q_g = q_eff.reshape(B, 1, H, stored)
     pool3 = latent_pool.reshape(N, 1, stored)
     out = _paged_decode_blockspec(
@@ -818,10 +836,8 @@ def paged_mla_decode(
         page_size, scale, 0, interpret, fetch_pages=8, v_dim=v_dim,
         emit_partial=emit_partial,
     )
-    if emit_partial:
-        # [B, H, 128 + v_dim] fp32: lane 0 m, lane 1 l, [128:] unnormalized
-        return out.reshape(B, H, v_dim + 128)
-    return out.reshape(B, H, v_dim)
+    # [B, H, 128 + v_dim] fp32: lane 0 m, lane 1 l, [128:] unnormalized
+    return out.reshape(B, H, v_dim + 128)
 
 
 @dedup_jit(6)

@@ -433,7 +433,7 @@ def stage_deepseek():
     return _serving_stage(
         "deepseek-v2-lite-w4", DSL_MODEL_DIR, budget,
         max_model_len=3072, batch=8, input_len=2816,
-        qps_steps=os.environ.get("ZT_BENCH_DSL_QPS", "0.3,0.4,0.5"),
+        qps_steps=os.environ.get("ZT_BENCH_DSL_QPS", "0.3,0.45,0.6"),
         nreq=os.environ.get("ZT_BENCH_DSL_NREQ", "24"),
         metric="serving_deepseek-v2-lite_w4_mla_moe_qps",
         model_label="deepseek-v2-lite-gptq-int4-geometry (MLA+MoE)",

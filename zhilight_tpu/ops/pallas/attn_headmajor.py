@@ -34,7 +34,7 @@ __all__ = ["paged_decode_attention_hm", "paged_decode_attention_hm_q"]
 NEG_INF = -2.0e38
 
 
-def _deep_fpb(maxp: int, page_bytes: int, fetch_pages) -> int:
+def _deep_fpb(maxp: int, page_bytes: int, fetch_pages, ops_per_page: int = 1) -> int:
     """Pages per fetch group. ``fetch_pages=None`` (the default path) fills a
     VMEM budget instead of a fixed count: fewer, larger fetch groups keep the
     DMA engines streaming. Measured on v5e at the MiniCPM bench geometry
@@ -47,7 +47,7 @@ def _deep_fpb(maxp: int, page_bytes: int, fetch_pages) -> int:
     # operand-count cap: every fetched page is its own BlockSpec operand and
     # Mosaic lowering degrades superlinearly past ~copies*2 per grid step
     # (a 182-operand MLA variant did not finish compiling in 20 min)
-    cap = int(os.environ.get("ZT_DECODE_FETCH_MAX_PAGES", 48))
+    cap = int(os.environ.get("ZT_DECODE_FETCH_MAX_PAGES", 48)) // ops_per_page
     return max(1, min(maxp, cap, budget // max(page_bytes, 1)))
 
 
@@ -357,11 +357,14 @@ def paged_decode_attention_hm_q(
     S = page_size
     G = Hq // Hkv
     maxp = page_tables.shape[1]
-    # int8 pool: the scale operands add 2 * S * Hkv * 4 B per page
+    # int8 pool: the scale operands add 2 * S * Hkv * 4 B per page, and each
+    # page costs THREE BlockSpec operands (kv + k/v scales) against the
+    # Mosaic lowering-complexity cap
     FPB = _deep_fpb(
         maxp,
         Hkv * S * D2 * kv_pool.dtype.itemsize + 2 * S * Hkv * 4,
         fetch_pages,
+        ops_per_page=3,
     )
     num_blocks = (maxp + FPB - 1) // FPB
     FPB = (maxp + num_blocks - 1) // num_blocks

@@ -363,14 +363,18 @@ def paged_prefill_attention_hm_packed(
 # ---------------------------------------------------------------------------
 # INT8-quantized variant (reference quantized-cache prefill,
 # src/nn/attention/quant_attention.cuh + attention_kernel.cu:539-1100): same
-# head-blocked flash structure over the int8 head-major packed pool, with the
-# slot-major per-(token, head) absmax scales [N, Hkv] fetched per page as one
-# contiguous [S, Hkv] f32 row-block (all heads; ~S*Hkv*4 B — <1% of the page
-# payload). Scales never touch the K/V elements: the K scale folds into the
-# SCORES and the V scale into the probabilities before the second dot (the
-# decode _q kernel's trick) — the int8 buffer feeds the MXU directly at half
-# the bf16 HBM bytes. This was the r4 "int8 KV loses" gap: prefill fell back
-# to gather+dequant XLA attention and burned TTFT (PROFILES r4:150-157).
+# head-blocked flash structure over the int8 head-major packed pool. The
+# slot-major per-(token, head) absmax scales [N, Hkv] are pre-blocked in XLA
+# to [num_head_blocks, N/S, HB, S] (one ~1 MB relayout per layer per chunk)
+# so the kernel fetches each page's scale tile as a plain BlockSpec operand:
+# the tiled dims (HB, S) are full-extent, which sidesteps Mosaic's DMA
+# slicing rules (lane-dim slices must be 128-aligned; a [S, HB] column slice
+# of [N, Hkv] is rejected on real hardware). Scales never touch the K/V
+# elements: the K scale folds into the SCORES and the V scale into the
+# probabilities before the second dot (the decode _q kernel's trick) — the
+# int8 buffer feeds the MXU directly at half the bf16 HBM bytes. This was
+# the r4 "int8 KV loses" gap: prefill fell back to gather+dequant XLA
+# attention and burned TTFT (PROFILES r4:150-157).
 # ---------------------------------------------------------------------------
 
 def _kernel_prefill_hm_q(
@@ -378,19 +382,7 @@ def _kernel_prefill_hm_q(
     page_table_ref,  # [NS, maxp]
     meta_ref,        # [NS, 2]
     # inputs
-    q_ref,    # [HB, TQ*G, 2D] VMEM (V-half lanes zero)
-    kv_hbm,   # [Hkv, N_slots, 2D] ANY int8
-    ks_hbm,   # [N_slots, Hkv] ANY f32
-    vs_hbm,   # [N_slots, Hkv] ANY f32
-    # output
-    o_ref,    # [HB, TQ*G, 2D]
-    # scratch
-    m_ref, l_ref, hi_ref, acc_ref,
-    kv_buf,   # [2, HB, PPB*S, 2D] int8
-    ks_buf,   # [2, PPB*S, HB] f32 (this head block's columns only)
-    vs_buf,   # [2, PPB*S, HB] f32
-    sems,     # DMA semaphores [2, PPB, 3]
-    *,
+    *refs,
     page_size: int,
     pages_per_block: int,
     num_blocks: int,
@@ -401,10 +393,16 @@ def _kernel_prefill_hm_q(
     q_blocks_per_seg: int,
     head_block: int,
 ):
+    S, PPB, HB = page_size, pages_per_block, head_block
+    q_ref = refs[0]                      # [HB, TQ*G, 2D] VMEM (V lanes zero)
+    kv_hbm = refs[1]                     # [Hkv, N_slots, 2D] ANY int8
+    ks_refs = refs[2 : 2 + PPB]          # each [1, 1, HB, S] f32 (BlockSpec)
+    vs_refs = refs[2 + PPB : 2 + 2 * PPB]
+    o_ref, m_ref, l_ref, hi_ref, acc_ref, kv_buf, sems = refs[2 + 2 * PPB :]
+
     hb = pl.program_id(0)
     qg = pl.program_id(1)
     i = pl.program_id(2)
-    S, PPB, HB = page_size, pages_per_block, head_block
     seg = qg // q_blocks_per_seg
     qi = qg % q_blocks_per_seg
 
@@ -431,17 +429,7 @@ def _kernel_prefill_hm_q(
             out.append(pltpu.make_async_copy(
                 kv_hbm.at[pl.ds(hb * HB, HB), pl.ds(page * S, S)],
                 kv_buf.at[slot, :, pl.ds(j * S, S)],
-                sems.at[slot, j, 0],
-            ))
-            out.append(pltpu.make_async_copy(
-                ks_hbm.at[pl.ds(page * S, S), pl.ds(hb * HB, HB)],
-                ks_buf.at[slot, pl.ds(j * S, S)],
-                sems.at[slot, j, 1],
-            ))
-            out.append(pltpu.make_async_copy(
-                vs_hbm.at[pl.ds(page * S, S), pl.ds(hb * HB, HB)],
-                vs_buf.at[slot, pl.ds(j * S, S)],
-                sems.at[slot, j, 2],
+                sems.at[slot, j],
             ))
         return out
 
@@ -477,8 +465,10 @@ def _kernel_prefill_hm_q(
             cp.wait()
         q = q_ref[...]           # [HB, TQ*G, 2D] bf16, V lanes zero
         kv = kv_buf[slot]        # [HB, PPB*S, 2D] int8 -> MXU direct
-        ks_h = jnp.swapaxes(ks_buf[slot], 0, 1)[:, None, :]  # [HB, 1, PPB*S]
-        vs_h = jnp.swapaxes(vs_buf[slot], 0, 1)[:, None, :]
+        # scale tiles arrive pre-blocked [HB, S]; concatenate the block's
+        # pages along lanes -> [HB, 1, PPB*S], no transpose in-kernel
+        ks_h = jnp.concatenate([r[0, 0] for r in ks_refs], axis=-1)[:, None, :]
+        vs_h = jnp.concatenate([r[0, 0] for r in vs_refs], axis=-1)[:, None, :]
         s = jax.lax.dot_general(
             q, kv, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -524,7 +514,7 @@ def paged_prefill_attention_hm_packed_q(
     interpret: bool = False,
 ) -> jax.Array:
     """Multi-sequence packed flash prefill over the INT8 pool; same geometry
-    policy as the bf16 kernel plus per-page scale row-blocks."""
+    policy as the bf16 kernel plus per-page scale tiles."""
     T, Hq, D = q.shape
     Hkv, N, D2 = kv_pool.shape
     assert D2 == 2 * D, (D2, D)
@@ -538,14 +528,21 @@ def paged_prefill_attention_hm_packed_q(
     ppb = max(1, min(maxp, _KV_TOKENS_TARGET // S))
 
     def _vmem_q(rows, ppb):
-        # int8 kv halves the kv scratch; scale buffers add 2*2*ppb*S*Hkv*4/HB
-        # per head (they are shared across the head block — charge per call)
-        base = _vmem_per_head(rows, ppb, S, D2) - 2 * ppb * S * D2 * 2 + 2 * ppb * S * D2
-        return base
+        # int8 kv halves the kv scratch vs the bf16 model, but the scale
+        # folds add a third live score-class buffer (s, p and p*vs coexist)
+        return (
+            _vmem_per_head(rows, ppb, S, D2)
+            + 4 * rows * ppb * S
+            - 2 * ppb * S * D2
+        )
 
-    while ppb > 4 and _vmem_q(tq * G, ppb) > _VMEM_LIMIT:
+    # the int8 body's compiler temporaries run ~5 MB past the analytic model
+    # at the 14B packed shape (17.07M real vs ~12M modeled — Mosaic stack
+    # OOM on chip), so this variant budgets against a smaller limit
+    _Q_LIMIT = 8 * 1024 * 1024
+    while ppb > 2 and _vmem_q(tq * G, ppb) > _Q_LIMIT:
         ppb -= 1
-    while tq > 8 and _vmem_q(tq * G, ppb) > _VMEM_LIMIT:
+    while tq > 8 and _vmem_q(tq * G, ppb) > _Q_LIMIT:
         tq = max(8, tq // 2 // 8 * 8)
     num_blocks = (maxp + ppb - 1) // ppb
     ppb = (maxp + num_blocks - 1) // num_blocks
@@ -556,14 +553,26 @@ def paged_prefill_attention_hm_packed_q(
     per_head = _vmem_q(tq * G, ppb)
     HB = 1
     for cand in range(1, Hkv + 1):
-        scale_bufs = 2 * 2 * ppb * S * cand * 4
-        if Hkv % cand == 0 and cand * per_head + scale_bufs <= _VMEM_LIMIT:
+        scale_tiles = 2 * 2 * ppb * cand * S * 4  # double-buffered by Mosaic
+        if Hkv % cand == 0 and cand * per_head + scale_tiles <= _Q_LIMIT:
             HB = cand
     num_head_blocks = Hkv // HB
 
     q_hm = jnp.moveaxis(q.reshape(T, Hkv, G, D), 1, 0).reshape(Hkv, NS, TC * G, D)
     q_hm = jnp.pad(q_hm, ((0, 0), (0, 0), (0, (tc_pad - TC) * G), (0, D2 - D)))
     q_hm = q_hm.reshape(Hkv, NS * tc_pad * G, D2)
+
+    # pre-block the scales: [N, Hkv] -> [num_hb, N/S, HB, S]; the kernel's
+    # scale operands then slice only untiled leading dims
+    NP = N // S
+
+    def _block_scales(sc):
+        return jnp.transpose(
+            sc.reshape(NP, S, num_head_blocks, HB), (2, 0, 3, 1)
+        )
+
+    ks_b = _block_scales(k_scales)
+    vs_b = _block_scales(v_scales)
 
     safe_tables = jnp.maximum(page_tables, 0)
     meta = jnp.stack(
@@ -573,15 +582,28 @@ def paged_prefill_attention_hm_packed_q(
     def q_index(hb, qg, i, *_):
         return (hb, qg, 0)
 
+    def sc_index_at(j):
+        def sc_index(hb, qg, i, pt_ref, meta_ref):
+            seg = qg // q_blocks_per_seg
+            cache_len = meta_ref[seg, 0]
+            total = cache_len + meta_ref[seg, 1]
+            nvp = pl.cdiv(total, S)
+            pos = i * ppb + j
+            safe = jnp.minimum(pos, jnp.maximum(nvp - 1, 0))
+            return (hb, pt_ref[seg, safe], 0, 0)
+
+        return sc_index
+
+    sc_specs = [
+        pl.BlockSpec((1, 1, HB, S), sc_index_at(j)) for j in range(ppb)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_head_blocks, num_q_blocks, num_blocks),
         in_specs=[
             pl.BlockSpec((HB, tq * G, D2), q_index),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + sc_specs + sc_specs,
         out_specs=pl.BlockSpec((HB, tq * G, D2), q_index),
         scratch_shapes=[
             pltpu.VMEM((HB, tq * G, 1), jnp.float32),
@@ -589,9 +611,7 @@ def paged_prefill_attention_hm_packed_q(
             pltpu.VMEM((HB, tq * G, 1), jnp.int32),
             pltpu.VMEM((HB, tq * G, D2), jnp.float32),
             pltpu.VMEM((2, HB, ppb * S, D2), kv_pool.dtype),
-            pltpu.VMEM((2, ppb * S, HB), jnp.float32),
-            pltpu.VMEM((2, ppb * S, HB), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, ppb, 3)),
+            pltpu.SemaphoreType.DMA((2, ppb)),
         ],
     )
     kernel = functools.partial(
@@ -614,7 +634,7 @@ def paged_prefill_attention_hm_packed_q(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(safe_tables, meta, q_hm, kv_pool, k_scales, v_scales)
+    )(safe_tables, meta, q_hm, kv_pool, *([ks_b] * ppb), *([vs_b] * ppb))
     out = out.reshape(Hkv, NS, tc_pad * G, D2)[:, :, : TC * G, D:]
     out = out.reshape(Hkv, T, G, D)
     return jnp.moveaxis(out, 0, 1).reshape(T, Hq, D)

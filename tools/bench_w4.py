@@ -98,6 +98,22 @@ def run(name, K, N, M=16, gs=128, variants=("packed", "bf16", "nibble"), quiet=F
         )
         w.delete()
 
+    if "xla" in variants:
+        # XLA dequant-then-dot fallback (ops/quant.int4_linear without
+        # Pallas): materializes a bf16 weight per call — the shape-aware
+        # dispatch question (VERDICT r4 weak #6) is whether this ever beats
+        # the fused kernel at small-ffn shapes
+        from zhilight_tpu.ops.quant import dequant_int4
+
+        w = jnp.asarray(pack_int4(jnp.asarray(base)))
+
+        def xla_path(x, w):
+            wd = dequant_int4(w, scales, zeros, x.dtype)
+            return jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(x.dtype)
+
+        res["xla"] = profile_ms(jax.jit(xla_path), X, w)
+        w.delete()
+
     roof4 = K * N * 0.5 / 819e9 * 1000
     roof16 = K * N * 2 / 819e9 * 1000
     parts = "  ".join(f"{k} {v:7.3f} ms" for k, v in res.items())

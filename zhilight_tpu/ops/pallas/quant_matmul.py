@@ -150,7 +150,15 @@ def _w4a16_packed(x2, w_packed, scales, zeros, interpret):
     TKh = gs
     while TKh < 1024 and Kh % (TKh * 2) == 0:
         TKh *= 2
-    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    # widest N tile VMEM affords: the weight block [TKh, TN] fetches TN-byte
+    # row chunks, so wider tiles mean longer contiguous DMA spans (full-row
+    # blocks are one contiguous TKh*N span) — same policy as quant_ragged
+    TN = next(
+        c for c in (N, 2048, 1024, 512, 256, 128)
+        if c <= N and N % c == 0 and c % 128 == 0
+    )
+    while TKh > gs and TKh * TN > (3 << 20):
+        TKh //= 2
     Mp = (M + TM - 1) // TM * TM
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))

@@ -160,11 +160,20 @@ def w4a16_ragged_matmul(
     TM = Mp // num_m_tiles
     assert Mp % num_m_tiles == 0
 
-    # same tiling policy as the dense packed kernel
+    # same k tiling policy as the dense packed kernel
     TKh = gs
     while TKh < 1024 and Kh % (TKh * 2) == 0:
         TKh *= 2
-    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    # full-row weight blocks when VMEM affords: a [1, TKh, TN] block with
+    # TN < N fetches TN-byte chunks per row (a 128-lane tile of N=1408 moved
+    # 128 B at a time — ~450 GB/s effective on the DeepSeek-V2-Lite decode
+    # profile); TN = N makes each weight fetch ONE contiguous TKh*N span
+    TN = next(
+        c for c in (N, 2048, 1024, 512, 256, 128)
+        if c <= N and N % c == 0 and c % 128 == 0
+    )
+    while TKh > gs and Kh % TKh == 0 and TKh * TN > (3 << 20):
+        TKh //= 2
     k_steps = Kh // TKh
     if x.dtype != jnp.bfloat16:
         x = x.astype(jnp.bfloat16)

@@ -19,6 +19,7 @@ from zhilight_tpu.config import (
     ParallelConfig,
 )
 from zhilight_tpu.engine import DynamicBatchGenerator, GeneratorArg
+from zhilight_tpu.engine.task import TaskStatus
 from zhilight_tpu.kvcache import new_kv_cache
 from zhilight_tpu.llm import LLM
 from zhilight_tpu.models import llama as L
@@ -412,3 +413,44 @@ def test_warmup_then_generate(tiny_model):
     with DynamicBatchGenerator(llm) as gen:
         results = gen.batch_generate(prompts, GeneratorArg(max_length=8))
     assert [r.outputs[0].token_ids for r in results] == expected
+
+
+def test_chunk_chains_used_and_decode_priority(tiny_model):
+    """A long prompt on an idle engine prefills via chunk chains (counter
+    increments) and produces the same greedy output as the unchained path;
+    while a decode slot is active, new prefills keep the one-chunk cadence."""
+    import threading
+    import time
+
+    llm = make_llm(tiny_model, max_batch=2, chunk_size=8, prefill_buckets=(8,))
+    gen = llm.generator().start()
+    try:
+        sched = gen.scheduler
+        rng = np.random.RandomState(0)
+        prompt = rng.randint(5, VOCAB - 2, 42).tolist()  # 6 chunks -> chain
+        r1 = gen.generate(prompt, GeneratorArg(max_length=4, temperature=0.0))
+        assert sched.num_chunk_chains >= 1
+        base = list(r1.outputs[0].token_ids)
+
+        res = {}
+
+        def long_decode():
+            res["a"] = gen.generate(
+                rng.randint(5, VOCAB - 2, 6).tolist(),
+                GeneratorArg(max_length=40, temperature=0.0),
+            )
+
+        t = threading.Thread(target=long_decode)
+        t.start()
+        for _ in range(300):
+            if any(
+                x is not None and x.status == TaskStatus.DECODE
+                for x in sched.slots
+            ):
+                break
+            time.sleep(0.005)
+        r2 = gen.generate(prompt, GeneratorArg(max_length=4, temperature=0.0))
+        t.join()
+        assert list(r2.outputs[0].token_ids) == base
+    finally:
+        gen.stop()

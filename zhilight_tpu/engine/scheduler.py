@@ -80,6 +80,7 @@ class Scheduler:
         self._slot_debt = 0
         self.num_beam_parks = 0  # cumulative, for metrics/tests
         self.num_packed_prefills = 0  # packed chunk programs run (metrics/tests)
+        self.num_chunk_chains = 0  # chain programs run (metrics/tests)
         self.step_index = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -989,6 +990,7 @@ class Scheduler:
                     self.ex.run_chunk_chain(toks, jnp.asarray(page_table), start)
                     task.cache_len += C * CS
                     self.step_index += C
+                    self.num_chunk_chains += 1
                     return True
             # hot path: meta built on device from (pages, [start, chunk]) —
             # one small upload instead of five per chunk

@@ -517,6 +517,19 @@ def main():
         out["errors"].append(err)
     emit()
 
+    # DeepSeek (MLA+MoE+W4A16) before the dense 14B row: it is the
+    # reference's flagship config class — if the driver's budget truncates
+    # the run, this row must already be in the last emitted line
+    row, err = stage_deepseek()
+    if row:
+        out["rows"].append(row)
+        out["deepseek_qps"] = row["value"]
+        out["deepseek_ttft_ms"] = row["ttft_ms"]
+        out["deepseek_tpot_ms"] = row["tpot_ms"]
+    elif err:
+        out["errors"].append(err)
+    emit()
+
     row, err = stage_serving()
     if row:
         out["rows"].append(row)
@@ -524,16 +537,6 @@ def main():
         out["serving_qps_vs_baseline"] = row["vs_baseline"]
         out["serving_ttft_ms"] = row["ttft_ms"]
         out["serving_tpot_ms"] = row["tpot_ms"]
-    elif err:
-        out["errors"].append(err)
-    emit()
-
-    row, err = stage_deepseek()
-    if row:
-        out["rows"].append(row)
-        out["deepseek_qps"] = row["value"]
-        out["deepseek_ttft_ms"] = row["ttft_ms"]
-        out["deepseek_tpot_ms"] = row["tpot_ms"]
     elif err:
         out["errors"].append(err)
     emit()

@@ -145,20 +145,48 @@ def _w4a16_packed(x2, w_packed, scales, zeros, interpret):
     gs = K // G
     M = x2.shape[0]
     TM = min(max(8, M), 256)
-    # large k-tiles amortize per-program overhead (~290 ns measured on v5e);
-    # the kernel is MXU-ingest-bound, so bigger tiles are pure win until VMEM
-    TKh = gs
-    while TKh < 1024 and Kh % (TKh * 2) == 0:
-        TKh *= 2
+
     # widest N tile VMEM affords: the weight block [TKh, TN] fetches TN-byte
     # row chunks, so wider tiles mean longer contiguous DMA spans (full-row
-    # blocks are one contiguous TKh*N span) — same policy as quant_ragged
-    TN = next(
-        c for c in (N, 2048, 1024, 512, 256, 128)
-        if c <= N and N % c == 0 and c % 128 == 0
-    )
-    while TKh > gs and TKh * TN > (3 << 20):
-        TKh //= 2
+    # blocks are one contiguous TKh*N span) — same policy as quant_ragged.
+    # The stack model matches Mosaic's allocator (verified against two OOM
+    # reports at [8192, 29696]: TN=N est 25.7M vs reported 24.5M, TN=N/2
+    # est 20.4M vs 19.95M): a block is double-buffered iff its index map
+    # actually varies over the grid, single-buffered when constant.
+    m_steps = max(1, -(-M // TM))
+
+    def _stack_bytes(TKh, TN):
+        k_steps = Kh // TKh
+        n_steps = N // TN
+        bk = 2 if k_steps * m_steps > 1 else 1   # x blocks (vary with m, k)
+        bw = 2 if k_steps > 1 else 1             # w nibble planes
+        bn = 2 if n_steps > 1 else 1             # s/sz rows (vary with n)
+        bo = 2 if m_steps * n_steps > 1 else 1   # out tile
+        return (
+            bk * (2 * TM * TKh * 2)              # x lo + hi
+            + (2 if m_steps > 1 else 1) * TM * G * 4  # x group sums
+            + bw * TKh * TN                      # w nibble planes
+            + bn * 2 * G * TN * 4                # s + sz full-G rows
+            + bo * TM * TN * 2                   # out tile
+            + TM * TN * 4                        # f32 accumulator scratch
+        )
+
+    TKh_max = gs
+    while TKh_max < 1024 and Kh % (TKh_max * 2) == 0:
+        TKh_max *= 2
+    _VMEM_BUDGET = 13 << 20  # Mosaic scoped-vmem limit is 16M; leave headroom
+    TKh, TN = gs, 128
+    for tn in (N, N // 2, N // 4, N // 8, 4096, 2048, 1024, 512, 256, 128):
+        if not (128 <= tn <= N and N % tn == 0 and tn % 128 == 0):
+            continue
+        # large k-tiles amortize per-program overhead (~290 ns measured on
+        # v5e); the kernel is MXU-ingest-bound, so bigger tiles are pure win
+        tkh = TKh_max
+        while tkh > gs and _stack_bytes(tkh, tn) > _VMEM_BUDGET:
+            tkh //= 2
+        if _stack_bytes(tkh, tn) <= _VMEM_BUDGET:
+            TKh, TN = tkh, tn
+            break
     Mp = (M + TM - 1) // TM * TM
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))

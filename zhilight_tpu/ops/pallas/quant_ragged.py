@@ -160,20 +160,36 @@ def w4a16_ragged_matmul(
     TM = Mp // num_m_tiles
     assert Mp % num_m_tiles == 0
 
-    # same k tiling policy as the dense packed kernel
-    TKh = gs
-    while TKh < 1024 and Kh % (TKh * 2) == 0:
-        TKh *= 2
     # full-row weight blocks when VMEM affords: a [1, TKh, TN] block with
     # TN < N fetches TN-byte chunks per row (a 128-lane tile of N=1408 moved
     # 128 B at a time — ~450 GB/s effective on the DeepSeek-V2-Lite decode
-    # profile); TN = N makes each weight fetch ONE contiguous TKh*N span
-    TN = next(
-        c for c in (N, 2048, 1024, 512, 256, 128)
-        if c <= N and N % c == 0 and c % 128 == 0
-    )
-    while TKh > gs and Kh % TKh == 0 and TKh * TN > (3 << 20):
-        TKh //= 2
+    # profile); TN = N makes each weight fetch ONE contiguous TKh*N span.
+    # Stack model mirrors quant_matmul._stack_bytes, except s/sz are
+    # always double-buffered here (their expert index changes per m-tile).
+    def _stack_bytes(TKh, TN):
+        return (
+            2 * (2 * TM * TKh * 2)   # x lo + hi
+            + 2 * TM * G * 4         # x group sums
+            + 2 * TKh * TN           # w nibble planes
+            + 2 * 2 * G * TN * 4     # s + sz (expert-varying, double-buffered)
+            + 2 * TM * TN * 2        # out tile
+            + TM * TN * 4            # f32 accumulator scratch
+        )
+
+    TKh_max = gs
+    while TKh_max < 1024 and Kh % (TKh_max * 2) == 0:
+        TKh_max *= 2
+    _VMEM_BUDGET = 13 << 20
+    TKh, TN = gs, 128
+    for tn in (N, N // 2, N // 4, N // 8, 4096, 2048, 1024, 512, 256, 128):
+        if not (128 <= tn <= N and N % tn == 0 and tn % 128 == 0):
+            continue
+        tkh = TKh_max
+        while tkh > gs and _stack_bytes(tkh, tn) > _VMEM_BUDGET:
+            tkh //= 2
+        if _stack_bytes(tkh, tn) <= _VMEM_BUDGET:
+            TKh, TN = tkh, tn
+            break
     k_steps = Kh // TKh
     if x.dtype != jnp.bfloat16:
         x = x.astype(jnp.bfloat16)

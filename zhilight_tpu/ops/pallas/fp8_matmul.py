@@ -28,9 +28,32 @@ __all__ = ["fp8_block_matmul"]
 _B = 128  # fp8 block edge (DeepSeek block_size)
 
 
+def _e4m3_to_bf16(bits: jax.Array) -> jax.Array:
+    """e4m3fn bits (uint8) -> bf16, via integer ops.
+
+    Mosaic's native f8e4m3->bf16 convert measured ~12x slower than the MXU
+    dot it feeds on v5e (tools/probe_fp8.py, r5); the bit-level identity is
+    cheap VPU integer work: for normals, bf16_bits =
+    sign<<8 | ((exp:mant)<<4) + (127-7)<<7 (mantissa left-aligns, exponent
+    rebiasing is one add in the exponent field). Denormals (exp==0) are
+    exact via an integer->float convert: value = m * 2^-9 = (m<<4) * 2^-13.
+    The e4m3fn NaN encoding (0x7f) maps to 480.0 instead of NaN — weights
+    never contain NaN."""
+    b = bits.astype(jnp.int32)  # i32 lanes: Mosaic legalizes shifts there
+    # Place sign at bit 31 and (exp:mant) so that exp lands in the f32
+    # exponent field: the result is sign * 2^(e-127) * (1+m/8), i.e. the
+    # e4m3 value scaled by 2^-120 — one f32 multiply rebias. f32 denormal
+    # semantics make the e==0 case exact too (m * 2^-129 * 2^120 = m*2^-9),
+    # with no compare/select in the hot loop.
+    f = jax.lax.bitcast_convert_type(
+        ((b & 0x80) << 24) | ((b & 0x7F) << 20), jnp.float32
+    )
+    return (f * jnp.float32(2.0 ** 120)).astype(jnp.bfloat16)
+
+
 def _fp8_kernel(
     x_ref,   # [TM, TK] bf16
-    w_ref,   # [TK, TN] fp8
+    w_ref,   # [TK, TN] uint8 (e4m3fn bits)
     s_ref,   # [K//B, TN] f32: scales pre-expanded along N (full K-block rows)
     o_ref,   # [TM, TN]
     acc_ref, # [TM, TN] f32
@@ -45,7 +68,7 @@ def _fp8_kernel(
 
     TK, TN = w_ref.shape
     for g in range(TK // _B):
-        w = w_ref[g * _B : (g + 1) * _B, :].astype(x_ref.dtype)
+        w = _e4m3_to_bf16(w_ref[g * _B : (g + 1) * _B, :])
         pdot = jax.lax.dot(
             x_ref[:, g * _B : (g + 1) * _B], w,
             preferred_element_type=jnp.float32,
@@ -108,7 +131,7 @@ def fp8_block_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, w_f8, s_exp)
+    )(x2, jax.lax.bitcast_convert_type(w_f8, jnp.uint8), s_exp)
     if Mp != M:
         out = out[:M]
     return out.astype(x.dtype).reshape(orig_shape[:-1] + (N,))

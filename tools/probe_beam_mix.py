@@ -52,12 +52,16 @@ def run_mode(gen, rng, segregate: bool, n_plain=6, out_len=96):
     for t in threads:
         t.join()
 
-    tpots = [results[f"plain{i}"].TPOT for i in range(n_plain)]
+    def tpot_ms(o):
+        gen_s = max(1e-6, o.time_elapsed - o.first_token_delay)
+        return gen_s / max(1, len(o.token_ids) - 1) * 1e3
+
+    tpots = [tpot_ms(results[f"plain{i}"]) for i in range(n_plain)]
     return {
         "mode": "segregated" if segregate else "mixed",
         "plain_tpot_mean_ms": round(float(np.mean(tpots)), 2),
         "plain_tpot_max_ms": round(float(np.max(tpots)), 2),
-        "beam_tpot_ms": round(float(results["beam"].TPOT), 2),
+        "beam_tpot_ms": round(tpot_ms(results["beam"]), 2),
     }
 
 
